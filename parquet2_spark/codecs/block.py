@@ -1,0 +1,51 @@
+"""Block compression codecs (orthogonal to encodings), via pyarrow.
+
+Reference parity: src/compression.rs:28-287 dispatches over
+Snappy/Gzip/Brotli/LZ4/Zstd backends; pyarrow bundles the same C
+implementations, so we dispatch to ``pyarrow.Codec`` instead of
+reimplementing block compressors. Raw (decompressed) size always travels
+in our blob header, mirroring the reference's
+``CompressedDataPage::uncompressed_page_size``.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pyarrow as pa
+
+# id ↔ name, stable across versions (stored in blob headers)
+CODEC_IDS = {0: None, 1: "snappy", 2: "gzip", 3: "brotli", 4: "lz4", 5: "zstd"}
+CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
+
+
+def available(name: str) -> bool:
+    if name is None:
+        return True
+    try:
+        return pa.Codec.is_available(name)
+    except Exception:
+        return False
+
+
+def compress(data: bytes, name: str | None, level: int | None = None) -> bytes:
+    """One codec per column chunk, like the reference enforces
+    (src/write/column_chunk.rs:108-121)."""
+    if name is None:
+        return data
+    if not available(name):
+        if name == "gzip":
+            return zlib.compress(data, 6)
+        raise ValueError(f"codec {name} unavailable")
+    codec = pa.Codec(name) if level is None else pa.Codec(name, compression_level=level)
+    return codec.compress(data, asbytes=True)
+
+
+def decompress(data: bytes, name: str | None, raw_size: int) -> bytes:
+    if name is None:
+        return bytes(data)
+    if not available(name):
+        if name == "gzip":
+            return zlib.decompress(bytes(data))
+        raise ValueError(f"codec {name} unavailable")
+    return pa.Codec(name).decompress(bytes(data), decompressed_size=raw_size, asbytes=True)

@@ -24,8 +24,6 @@ from . import bitpack
 from .varint import (
     uleb128_decode,
     uleb128_encode,
-    zigzag_decode,
-    zigzag_encode_array,
     zigzag_leb128_decode,
     zigzag_leb128_encode,
 )
@@ -89,6 +87,12 @@ def encode(values: np.ndarray) -> bytes:
 
 def decode(buf: bytes | memoryview) -> np.ndarray:
     """Decode a DELTA_BINARY_PACKED stream → int64 array."""
+    return decode_consumed(buf)[0]
+
+
+def decode_consumed(buf: bytes | memoryview) -> tuple[np.ndarray, int]:
+    """Decode and also return the stream end offset (the stream is
+    self-delimiting, which lets callers append payloads after it)."""
     buf = memoryview(buf)
     block_size, pos = uleb128_decode(buf, 0)
     miniblocks, pos = uleb128_decode(buf, pos)
@@ -97,9 +101,9 @@ def decode(buf: bytes | memoryview) -> np.ndarray:
     n, pos = uleb128_decode(buf, pos)
     first, pos = zigzag_leb128_decode(buf, pos)
     if n == 0:
-        return np.zeros(0, dtype=np.int64)
+        return np.zeros(0, dtype=np.int64), pos
     if n == 1:
-        return np.array([first], dtype=np.int64)
+        return np.array([first], dtype=np.int64), pos
 
     nd = n - 1
     nblocks = (nd + block_size - 1) // block_size
@@ -123,4 +127,4 @@ def decode(buf: bytes | memoryview) -> np.ndarray:
     out[0] = first
     with np.errstate(over="ignore"):
         out[1:] = first + np.cumsum(deltas[:nd], dtype=np.int64)
-    return out
+    return out, pos

@@ -1,0 +1,195 @@
+"""FSST — Fast Static Symbol Table string compression.
+
+No counterpart in the reference crate; implemented from the published
+paper (Boncz, Neumann, Leis, "FSST: Fast Random Access String
+Compression", VLDB 2020): a table of ≤255 symbols of 1-8 bytes built on a
+sample by iterative pair-merging, greedy longest-match encoding, code 255
+as the escape marker for uncovered bytes.
+
+Implementation notes (pure Python/numpy, no per-row work):
+- training runs a few generations over a bounded sample; tokenization uses
+  a compiled regex alternation sorted longest-first, which is exactly
+  "greedy longest match at each position" executed in C;
+- encode = one regex pass over the whole chunk buffer (per-match Python,
+  not per-row);
+- decode is fully vectorized: escape resolution via run-parity on 0xFF
+  runs, then a gather from the symbol blob (the paper's headline property
+  — decode much faster than encode — holds here too).
+
+Blob layout: [uleb n_symbols][u8 len × n_symbols][symbol bytes]
+             [uleb payload_len][payload]
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+
+from .varint import uleb128_decode, uleb128_encode
+
+ESCAPE = 255
+MAX_SYMBOLS = 255
+MAX_SYMBOL_LEN = 8
+GENERATIONS = 4
+DEFAULT_SAMPLE = 1 << 16
+
+
+class SymbolTable:
+    __slots__ = ("symbols", "_pattern", "_code_of")
+
+    def __init__(self, symbols: list[bytes]):
+        if len(symbols) > MAX_SYMBOLS:
+            raise ValueError("too many symbols")
+        self.symbols = symbols
+        self._code_of = {s: i for i, s in enumerate(symbols)}
+        if symbols:
+            ordered = sorted(symbols, key=len, reverse=True)
+            self._pattern = re.compile(b"|".join(re.escape(s) for s in ordered))
+        else:
+            self._pattern = None
+
+    def serialize(self) -> bytes:
+        parts = [uleb128_encode(len(self.symbols))]
+        parts.append(bytes(len(s) for s in self.symbols))
+        parts.extend(self.symbols)
+        return b"".join(parts)
+
+    @classmethod
+    def deserialize(cls, buf: memoryview, pos: int = 0) -> tuple["SymbolTable", int]:
+        n, pos = uleb128_decode(buf, pos)
+        lens = bytes(buf[pos : pos + n])
+        pos += n
+        symbols = []
+        for ln in lens:
+            symbols.append(bytes(buf[pos : pos + ln]))
+            pos += ln
+        return cls(symbols), pos
+
+
+def _tokenize(data: bytes, table: SymbolTable) -> list[bytes]:
+    """Greedy longest-match token stream (symbols + literal 1-byte gaps)."""
+    if table._pattern is None:
+        return [data[i : i + 1] for i in range(len(data))]
+    out: list[bytes] = []
+    last = 0
+    for m in table._pattern.finditer(data):
+        s, e = m.span()
+        for i in range(last, s):
+            out.append(data[i : i + 1])
+        out.append(m.group())
+        last = e
+    for i in range(last, len(data)):
+        out.append(data[i : i + 1])
+    return out
+
+
+def train(sample: bytes, generations: int = GENERATIONS) -> SymbolTable:
+    """Build a symbol table on a sample (paper §3.3 bottom-up style:
+    iterate tokenize → count symbols & adjacent-pair concatenations →
+    keep top candidates by gain = count * length)."""
+    sample = sample[: DEFAULT_SAMPLE * 4]
+    table = SymbolTable([])
+    if not sample:
+        return table
+    for _ in range(generations):
+        tokens = _tokenize(sample, table)
+        counts: Counter[bytes] = Counter(tokens)
+        for a, b in zip(tokens, tokens[1:]):
+            cat = a + b
+            if len(cat) <= MAX_SYMBOL_LEN:
+                counts[cat] += 1
+        # gain: bytes saved per occurrence (multi-byte symbol: len-1;
+        # single byte: avoids the escape byte: 1)
+        scored = sorted(
+            counts.items(),
+            key=lambda kv: (kv[1] * (len(kv[0]) - 1) if len(kv[0]) > 1 else kv[1], kv[0]),
+            reverse=True,
+        )
+        table = SymbolTable([s for s, _ in scored[:MAX_SYMBOLS]])
+    return table
+
+
+def encode_with_table(data: bytes, table: SymbolTable) -> bytes:
+    out = bytearray()
+    code_of = table._code_of
+    last = 0
+    if table._pattern is not None:
+        for m in table._pattern.finditer(data):
+            s, e = m.span()
+            if s > last:
+                _escape_into(out, data[last:s])
+            out.append(code_of[m.group()])
+            last = e
+    if last < len(data):
+        _escape_into(out, data[last:])
+    return bytes(out)
+
+
+def _escape_into(out: bytearray, raw: bytes) -> None:
+    # interleave ESCAPE before every literal byte, vectorized
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    esc = np.empty(2 * len(arr), dtype=np.uint8)
+    esc[0::2] = ESCAPE
+    esc[1::2] = arr
+    out += esc.tobytes()
+
+
+def decode_with_table(payload: bytes | memoryview, table: SymbolTable) -> bytes:
+    codes = np.frombuffer(payload, dtype=np.uint8)
+    n = len(codes)
+    if n == 0:
+        return b""
+    # --- escape resolution: within each maximal run of 0xFF bytes that
+    # starts at a code position, escapes sit at even offsets. A run always
+    # starts at a code position: the byte before it is non-FF, and a
+    # non-FF byte is never an escape.
+    ff = np.flatnonzero(codes == ESCAPE)
+    is_literal = np.zeros(n, dtype=bool)
+    if len(ff):
+        run_start = np.concatenate(([0], np.flatnonzero(np.diff(ff) > 1) + 1))
+        run_start_pos = np.repeat(ff[run_start], np.diff(np.concatenate((run_start, [len(ff)]))))
+        esc_pos = ff[(ff - run_start_pos) % 2 == 0]
+        if len(esc_pos) and esc_pos[-1] == n - 1:
+            raise ValueError("dangling escape at end of FSST payload")
+        is_literal[esc_pos + 1] = True
+        is_code = ~is_literal
+        is_code[esc_pos] = False
+    else:
+        is_code = ~is_literal
+
+    # --- unified blob: symbols then the 256 literal bytes
+    sym_lens = np.fromiter((len(s) for s in table.symbols), dtype=np.int64, count=len(table.symbols))
+    entry_lens = np.concatenate((sym_lens, np.ones(256, dtype=np.int64)))
+    entry_starts = np.zeros(len(entry_lens) + 1, dtype=np.int64)
+    np.cumsum(entry_lens, out=entry_starts[1:])
+    blob = np.frombuffer(b"".join(table.symbols) + bytes(range(256)), dtype=np.uint8)
+
+    token_pos = np.flatnonzero(is_code | is_literal)
+    entries = codes[token_pos].astype(np.int64)
+    entries = np.where(is_literal[token_pos], entries + len(table.symbols), entries)
+    if len(table.symbols) and (codes[is_code] >= len(table.symbols)).any():
+        raise ValueError("code out of symbol-table range")
+
+    lens = entry_lens[entries]
+    starts = entry_starts[entries]
+    total = int(lens.sum())
+    pos0 = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=pos0[1:])
+    take = np.repeat(starts, lens) + (np.arange(total) - np.repeat(pos0[:-1], lens))
+    return blob[take].tobytes()
+
+
+def encode(data: bytes, sample: bytes | None = None) -> bytes:
+    """Self-contained blob: symbol table + escaped payload."""
+    table = train(sample if sample is not None else data[:DEFAULT_SAMPLE])
+    payload = encode_with_table(data, table)
+    return table.serialize() + uleb128_encode(len(payload)) + payload
+
+
+def decode(buf: bytes | memoryview) -> bytes:
+    buf = memoryview(buf)
+    table, pos = SymbolTable.deserialize(buf)
+    plen, pos = uleb128_decode(buf, pos)
+    return decode_with_table(buf[pos : pos + plen], table)
