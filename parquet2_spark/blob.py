@@ -1,0 +1,399 @@
+"""Page and chunk blob containers: typed encode/decode with null handling,
+codec auto-selection, and optional outer block compression.
+
+Model parity with the reference (SURVEY §1.1): a *page* is the smallest
+encode/compress unit (here: one Arrow batch inside a vectorized UDF;
+reference src/page/mod.rs), a *chunk* is all pages of one column in one
+partition (reference column chunk, src/metadata/column_chunk_metadata.rs).
+Like the reference's page buffer layout ``[def levels][values]``
+(src/page/mod.rs:352-431), a page blob carries a hybrid-RLE validity
+section (definition-level-style runs) separate from the packed non-null
+values.
+
+Page layout (self-delimiting):
+    u8 type_code | u8 codec_id | u8 outer_comp_id
+    uleb n_rows | uleb null_count
+    [if 0 < null_count < n_rows: uleb vlen + hybrid-RLE validity bits]
+    uleb raw_size | uleb enc_len | payload
+
+Chunk layout:
+    b"P2C1" | u8 type_code | uleb n_pages | uleb n_rows
+    uleb page_len × n_pages | page blobs
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from .codecs import barray, block, delta, dictionary, fsst, plain, rle, strings
+from .codecs.varint import uleb128_decode, uleb128_encode
+from .functions import selector as sel
+from .functions import stats as stats_mod
+from .functions.selector import (
+    BITMAP,
+    CONSTANT,
+    DELTA,
+    DELTA_BYTE_ARRAY,
+    DICT,
+    FSST,
+    PLAIN,
+    RLE_FOR,
+    SelectorConfig,
+)
+
+CHUNK_MAGIC = b"P2C1"
+
+# ---------------------------------------------------------------- types
+# type_code: (name, numpy dtype or None, kind, arrow type factory)
+TYPES: dict[int, tuple[str, Any, str, Callable[[], pa.DataType]]] = {
+    1: ("int64", np.int64, "native", pa.int64),
+    2: ("int32", np.int32, "native", pa.int32),
+    3: ("float64", np.float64, "native", pa.float64),
+    4: ("float32", np.float32, "native", pa.float32),
+    5: ("bool", None, "bool", pa.bool_),
+    6: ("binary", None, "binary", pa.binary),
+    7: ("string", None, "binary", pa.string),
+    8: ("timestamp_us", np.int64, "native", lambda: pa.timestamp("us")),
+    9: ("date32", np.int32, "native", pa.date32),
+    10: ("int16", np.int16, "native", pa.int16),
+    11: ("int8", np.int8, "native", pa.int8),
+}
+_FLOAT_CODES = {3, 4}
+
+
+def type_code_of(t: pa.DataType) -> int:
+    if pa.types.is_timestamp(t):
+        return 8
+    if pa.types.is_date32(t):
+        return 9
+    for code, (_, _, _, factory) in TYPES.items():
+        if code in (8, 9):
+            continue
+        if t.equals(factory()):
+            return code
+    if pa.types.is_large_string(t):
+        return 7
+    if pa.types.is_large_binary(t):
+        return 6
+    raise TypeError(f"unsupported arrow type: {t}")
+
+
+def _extract_native(vals: pa.Array, code: int) -> np.ndarray:
+    dtype = TYPES[code][1]
+    if code == 8:  # timestamp → int64 micros (reference normalizes Int96→i64
+        # the same way, src/types.rs:103-113)
+        return vals.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    if code == 9:
+        return vals.cast(pa.int32()).to_numpy(zero_copy_only=False)
+    return vals.to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+
+
+# ---------------------------------------------------------------- values codecs
+def _encode_values(code: int, kind: str, vals: pa.Array, codec: int) -> bytes:
+    if kind == "bool":
+        return rle.encode_bool(vals.to_numpy(zero_copy_only=False))
+    if kind == "binary":
+        arr = barray.from_arrow(vals)
+        if codec == PLAIN:
+            return plain.encode_binary(arr)
+        if codec == DICT:
+            return dictionary.encode_binary(arr)
+        if codec == DELTA_BYTE_ARRAY:
+            return strings.encode_delta_byte_array(arr)
+        if codec == FSST:
+            lens = barray.lengths(arr)
+            return delta.encode(lens) + fsst.encode(arr[1])
+        if codec == CONSTANT:
+            first = bytes(arr[1][: arr[0][1]]) if len(arr[0]) > 1 else b""
+            return uleb128_encode(len(first)) + first
+        raise ValueError(f"codec {codec} invalid for binary")
+    # natives
+    v = _extract_native(vals, code)
+    if codec == PLAIN:
+        return plain.encode_native(v)
+    if codec == DICT:
+        return dictionary.encode_native(v)
+    if codec == RLE_FOR:
+        return rle.encode_for(v.astype(np.int64, copy=False))
+    if codec == DELTA:
+        return delta.encode(v.astype(np.int64, copy=False))
+    if codec == CONSTANT:
+        return plain.encode_native(v[:1])
+    raise ValueError(f"codec {codec} invalid for native")
+
+
+def _decode_values(code: int, kind: str, buf: memoryview, codec: int, m: int):
+    """→ numpy array (native/bool) or BinArray (binary) of m non-null values."""
+    if kind == "bool":
+        return rle.decode_bool(buf, m)
+    if kind == "binary":
+        if codec == PLAIN:
+            return plain.decode_binary(buf)
+        if codec == DICT:
+            return dictionary.decode_binary(buf)
+        if codec == DELTA_BYTE_ARRAY:
+            return strings.decode_delta_byte_array(buf)
+        if codec == FSST:
+            lens, pos = delta.decode_consumed(buf)
+            data = fsst.decode(buf[pos:])
+            offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offsets[1:])
+            return offsets, data
+        if codec == CONSTANT:
+            ln, pos = uleb128_decode(buf, 0)
+            val = bytes(buf[pos : pos + ln])
+            offsets = np.arange(m + 1, dtype=np.int64) * ln
+            return offsets, val * m
+        raise ValueError(f"codec {codec} invalid for binary")
+    dtype = np.dtype(TYPES[code][1])
+    if codec == PLAIN:
+        return np.frombuffer(buf, dtype=dtype, count=m)
+    if codec == DICT:
+        return dictionary.decode_native(buf, dtype)
+    if codec == RLE_FOR:
+        return rle.decode_for(buf).astype(dtype, copy=False)
+    if codec == DELTA:
+        return delta.decode(buf).astype(dtype, copy=False)
+    if codec == CONSTANT:
+        return np.full(m, np.frombuffer(buf, dtype=dtype, count=1)[0], dtype=dtype)
+    raise ValueError(f"codec {codec} invalid for native")
+
+
+# ---------------------------------------------------------------- page
+@dataclass
+class PageMeta:
+    n: int
+    null_count: int
+    codec: str
+    outer: str | None
+    raw_bytes: int
+    enc_bytes: int
+    page_bytes: int
+    min: Any = None
+    max: Any = None
+    ndv: int = 0
+
+
+def encode_page(
+    arr: pa.Array,
+    cfg: SelectorConfig = sel.DEFAULT,
+    codec: int | None = None,
+    stats: stats_mod.BatchStats | None = None,
+) -> tuple[bytes, PageMeta]:
+    code = type_code_of(arr.type)
+    kind = TYPES[code][2]
+    st = stats if stats is not None else stats_mod.compute(arr)
+    n, nulls = st.n, st.null_count
+    vals = arr.drop_null() if nulls else arr
+    m = len(vals)
+
+    if codec is None:
+        candidates = sel.shortlist(st, kind, code in _FLOAT_CODES, cfg)
+        if len(candidates) == 1 or m == 0:
+            codec = candidates[0]
+        else:
+            sample = vals.slice(0, cfg.sample_values) if m > cfg.sample_values else vals
+            sizes = {c: len(_encode_values(code, kind, sample, c)) for c in candidates}
+            codec = sel.pick_by_measure(sizes)
+
+    enc = _encode_values(code, kind, vals, codec) if m else b""
+    raw_size = len(enc)
+
+    outer_id = 0
+    payload = enc
+    if cfg.outer and raw_size >= cfg.outer_min_bytes:
+        compressed = block.compress(enc, cfg.outer, cfg.outer_level)
+        if len(compressed) <= raw_size * cfg.outer_min_gain:
+            payload = compressed
+            outer_id = block.CODEC_NAMES[cfg.outer]
+
+    parts = [
+        bytes([code, codec, outer_id]),
+        uleb128_encode(n),
+        uleb128_encode(nulls),
+    ]
+    if 0 < nulls < n:
+        validity = rle.encode_bool(arr.is_valid().to_numpy(zero_copy_only=False))
+        parts.append(uleb128_encode(len(validity)))
+        parts.append(validity)
+    parts.append(uleb128_encode(raw_size))
+    parts.append(uleb128_encode(len(payload)))
+    parts.append(payload)
+    page = b"".join(parts)
+    meta = PageMeta(
+        n=n,
+        null_count=nulls,
+        codec=sel.CODEC_NAMES[codec],
+        outer=block.CODEC_IDS[outer_id],
+        raw_bytes=st.raw_bytes,
+        enc_bytes=len(page),
+        page_bytes=len(page),
+        min=st.min,
+        max=st.max,
+        ndv=st.ndv,
+    )
+    return page, meta
+
+
+def decode_page(buf: bytes | memoryview, pos: int = 0) -> tuple[pa.Array, int]:
+    buf = memoryview(buf)
+    code, codec, outer_id = buf[pos], buf[pos + 1], buf[pos + 2]
+    name, dtype, kind, factory = TYPES[code]
+    n, p = uleb128_decode(buf, pos + 3)
+    nulls, p = uleb128_decode(buf, p)
+    valid = None
+    if 0 < nulls < n:
+        vlen, p = uleb128_decode(buf, p)
+        valid = rle.decode_bool(buf[p : p + vlen], n)
+        p += vlen
+    raw_size, p = uleb128_decode(buf, p)
+    plen, p = uleb128_decode(buf, p)
+    payload = buf[p : p + plen]
+    p += plen
+
+    if nulls == n:
+        return pa.nulls(n, factory()), p
+    enc = memoryview(block.decompress(payload, block.CODEC_IDS[outer_id], raw_size))
+    m = n - nulls
+    values = _decode_values(code, kind, enc, codec, m)
+
+    if kind == "binary":
+        offsets, data = values
+        if valid is not None:
+            full = np.zeros(n + 1, dtype=np.int64)
+            lens = np.zeros(n, dtype=np.int64)
+            lens[valid] = np.diff(offsets)
+            np.cumsum(lens, out=full[1:])
+            offsets = full
+        if offsets[-1] > np.iinfo(np.int32).max:
+            out_t, off_np = pa.large_binary(), offsets.astype(np.int64)
+        else:
+            out_t, off_np = pa.binary(), offsets.astype(np.int32)
+        vbuf = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes()) if valid is not None else None
+        out = pa.Array.from_buffers(
+            out_t, n, [vbuf, pa.py_buffer(off_np), pa.py_buffer(data)], null_count=nulls
+        )
+        if code == 7:
+            out = out.cast(pa.large_string() if out_t == pa.large_binary() else pa.string())
+        return out, p
+    if kind == "bool":
+        if valid is not None:
+            full = np.zeros(n, dtype=bool)
+            full[valid] = values
+            return pa.array(full, mask=~valid), p
+        return pa.array(values), p
+    # natives
+    if valid is not None:
+        full = np.zeros(n, dtype=np.dtype(dtype))
+        full[valid] = values
+        mask = ~valid
+    else:
+        full, mask = values, None
+    if code == 8:
+        out = pa.array(full.astype("datetime64[us]"), type=pa.timestamp("us"), mask=mask)
+    elif code == 9:
+        out = pa.array(full.astype("datetime64[D]"), type=pa.date32(), mask=mask)
+    else:
+        out = pa.array(full, mask=mask)
+    return out, p
+
+
+# ---------------------------------------------------------------- chunk
+@dataclass
+class ChunkMeta:
+    type_code: int
+    n_rows: int
+    null_count: int
+    raw_bytes: int
+    enc_bytes: int
+    n_pages: int
+    codecs: list[str]
+    outers: list[str | None]
+    page_rows: list[int] = field(default_factory=list)
+    page_mins: list[Any] = field(default_factory=list)
+    page_maxs: list[Any] = field(default_factory=list)
+    min: Any = None
+    max: Any = None
+    ndv_hint: int = 0
+
+
+def encode_chunk(
+    pages: list[pa.Array], cfg: SelectorConfig = sel.DEFAULT, codec: int | None = None
+) -> tuple[bytes, ChunkMeta]:
+    if not pages:
+        raise ValueError("chunk needs at least one page")
+    code = type_code_of(pages[0].type)
+    blobs: list[bytes] = []
+    metas: list[PageMeta] = []
+    for arr in pages:
+        b, m = encode_page(arr, cfg, codec=codec)
+        blobs.append(b)
+        metas.append(m)
+    head = [CHUNK_MAGIC, bytes([code]), uleb128_encode(len(blobs)), uleb128_encode(sum(m.n for m in metas))]
+    head.extend(uleb128_encode(len(b)) for b in blobs)
+    payload = b"".join(head) + b"".join(blobs)
+    mins = [m.min for m in metas if m.min is not None]
+    maxs = [m.max for m in metas if m.max is not None]
+    # deterministic codec list, deduped+sorted like the reference
+    # (src/write/column_chunk.rs:176-177)
+    meta = ChunkMeta(
+        type_code=code,
+        n_rows=sum(m.n for m in metas),
+        null_count=sum(m.null_count for m in metas),
+        raw_bytes=sum(m.raw_bytes for m in metas),
+        enc_bytes=len(payload),
+        n_pages=len(blobs),
+        codecs=sorted({m.codec for m in metas}),
+        outers=sorted({m.outer for m in metas if m.outer} | set()) or [],
+        page_rows=[m.n for m in metas],
+        page_mins=[m.min for m in metas],
+        page_maxs=[m.max for m in metas],
+        min=min(mins) if mins else None,
+        max=max(maxs) if maxs else None,
+        ndv_hint=max((m.ndv for m in metas), default=0),
+    )
+    return payload, meta
+
+
+def iter_chunk_pages(
+    buf: bytes | memoryview,
+    page_filter: Callable[[int, int], bool] | None = None,
+) -> Iterator[tuple[int, pa.Array | None]]:
+    """Yield ``(first_row_index, array-or-None)`` per page.
+
+    ``page_filter(page_index, first_row_index) -> keep`` skips decoding of
+    filtered pages entirely (IndexedPageReader analog — the page bytes are
+    never touched, only the offset index is walked). Skipped pages yield
+    ``None`` so callers keep row alignment.
+    """
+    buf = memoryview(buf)
+    if bytes(buf[:4]) != CHUNK_MAGIC:
+        raise ValueError("bad chunk magic")
+    _code = buf[4]
+    n_pages, pos = uleb128_decode(buf, 5)
+    _n_rows, pos = uleb128_decode(buf, pos)
+    lens = []
+    for _ in range(n_pages):
+        ln, pos = uleb128_decode(buf, pos)
+        lens.append(ln)
+    first_row = 0
+    for i, ln in enumerate(lens):
+        page = buf[pos : pos + ln]
+        # page n_rows sits right after the 3 header bytes
+        page_n, _ = uleb128_decode(page, 3)
+        if page_filter is None or page_filter(i, first_row):
+            arr, _ = decode_page(page, 0)
+            yield first_row, arr
+        else:
+            yield first_row, None
+        pos += ln
+        first_row += page_n
+
+
+def decode_chunk(buf: bytes | memoryview) -> pa.Array:
+    arrs = [a for _, a in iter_chunk_pages(buf)]
+    return arrs[0] if len(arrs) == 1 else pa.concat_arrays(arrs)

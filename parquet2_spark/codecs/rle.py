@@ -139,3 +139,40 @@ def unpack_bitmap(buf: bytes | memoryview, n: int) -> np.ndarray:
     return np.unpackbits(np.frombuffer(buf, dtype=np.uint8), count=n, bitorder="little").astype(
         bool
     )
+
+
+def encode_for(values: np.ndarray) -> bytes:
+    """Frame-of-reference + hybrid-RLE/bit-pack for integer columns:
+    ``[zigzag-uleb min][u8 width][uleb n][hybrid-RLE of v - min]``.
+
+    The "int range small → bit-pack" selector target (SURVEY §4): unlike
+    delta it needs no sortedness, and repeated values become RLE runs.
+    """
+    from .varint import uleb128_encode, zigzag_leb128_encode
+
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    n = len(v)
+    if n == 0:
+        return zigzag_leb128_encode(0) + bytes([0]) + uleb128_encode(0)
+    lo = int(v.min())
+    span = int(v.max()) - lo
+    width = span.bit_length()
+    # modular uint64 shift so extreme min/max pairs can't overflow
+    shifted = v.astype(np.uint64) - np.uint64(lo & ((1 << 64) - 1))
+    return (
+        zigzag_leb128_encode(lo)
+        + bytes([width])
+        + uleb128_encode(n)
+        + encode(shifted, width)
+    )
+
+
+def decode_for(buf: bytes | memoryview) -> np.ndarray:
+    from .varint import uleb128_decode, zigzag_leb128_decode
+
+    buf = memoryview(buf)
+    lo, pos = zigzag_leb128_decode(buf, 0)
+    width = buf[pos]
+    n, pos = uleb128_decode(buf, pos + 1)
+    vals = decode(buf[pos:], width, n)
+    return (vals + np.uint64(lo & ((1 << 64) - 1))).astype(np.int64)

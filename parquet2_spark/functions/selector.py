@@ -1,0 +1,92 @@
+"""Stats-driven codec auto-selection — the engine's novel piece.
+
+The reference deliberately ships encodings without a chooser ("this crate
+does not provide that logic — README.md:95-99"); writers like parquet-mr/
+pyarrow decide PLAIN vs RLE_DICTIONARY vs DELTA. This module is that
+decision logic, mirroring their heuristics (distinct-count, run-length,
+value-range, sortedness) plus a try-and-measure tie-break on a sample so
+the pick is never much worse than the best candidate:
+
+1. stats → shortlist (heuristics below);
+2. encode a bounded sample with every shortlisted codec, rank by bytes;
+3. the winner encodes the full page; an outer block codec (zstd) is kept
+   only when it actually shrinks the encoded payload.
+
+A ``plain`` candidate is always shortlisted, and the outer-zstd pass runs
+on every codec's output, so the result can't lose to general-purpose
+compression by more than the header overhead (SURVEY §7 risk note).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .stats import BatchStats
+
+# codec ids shared with blob.py
+PLAIN, DICT, RLE_FOR, DELTA, DELTA_BYTE_ARRAY, FSST, CONSTANT, BITMAP = range(8)
+CODEC_NAMES = {
+    PLAIN: "plain",
+    DICT: "dict",
+    RLE_FOR: "rle_for",
+    DELTA: "delta",
+    DELTA_BYTE_ARRAY: "delta_byte_array",
+    FSST: "fsst",
+    CONSTANT: "constant",
+    BITMAP: "bitmap",
+}
+
+
+@dataclass
+class SelectorConfig:
+    sample_values: int = 1024  # values measured per candidate
+    dict_ratio: float = 0.5  # ndv/nonnull below this → dict candidate
+    run_ratio: float = 0.125  # runs/nonnull below this → rle candidate
+    sorted_min: float = 0.90  # sortedness above this → delta candidate
+    fsst_min_avg_len: float = 6.0  # avg string bytes above this → fsst candidate
+    outer: str | None = "zstd"  # outer block codec to try
+    outer_level: int | None = None
+    outer_min_gain: float = 0.9  # keep outer only if ≤ 90% of encoded size
+    outer_min_bytes: int = 128  # don't bother below this payload size
+    enable_fsst: bool = True
+    enable_front_coding: bool = True
+
+
+DEFAULT = SelectorConfig()
+
+
+def shortlist(st: BatchStats, kind: str, is_float: bool, cfg: SelectorConfig = DEFAULT) -> list[int]:
+    """Heuristic candidate codecs, cheapest-to-encode first."""
+    m = st.nonnull
+    if kind == "bool":
+        return [BITMAP]
+    if m == 0:
+        return [PLAIN]
+    if st.ndv == 1:
+        return [CONSTANT]
+    out: list[int] = []
+    if kind == "binary":
+        if st.ndv <= max(16, m * cfg.dict_ratio):
+            out.append(DICT)
+        avg_len = st.raw_bytes / m
+        if cfg.enable_front_coding and m > 4:
+            out.append(DELTA_BYTE_ARRAY)
+        if cfg.enable_fsst and avg_len >= cfg.fsst_min_avg_len:
+            out.append(FSST)
+        out.append(PLAIN)
+        return out
+    # natives
+    if st.ndv <= max(16, m * cfg.dict_ratio):
+        out.append(DICT)
+    if not is_float:
+        out.append(RLE_FOR)
+        if st.sorted_frac >= cfg.sorted_min:
+            out.append(DELTA)
+    out.append(PLAIN)
+    return out
+
+
+def pick_by_measure(sizes: dict[int, int]) -> int:
+    """Smallest sample encoding wins; ties break toward the cheaper decoder
+    (lower codec id ordering puts plain/dict first)."""
+    return min(sizes.items(), key=lambda kv: (kv[1], kv[0]))[0]

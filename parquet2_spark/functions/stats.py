@@ -1,0 +1,106 @@
+"""Per-batch column statistics and partial→final reduction.
+
+Reference parity: per-page min/max/null_count (src/statistics/*.rs,
+consumer-side computation shown in tests/it/write/primitive.rs:52-63) and
+the page→chunk ``reduce`` (src/write/statistics.rs:28-103: min-of-mins,
+max-of-maxes, sum null_counts, drop distinct_count). We add the inputs the
+codec auto-selector needs: run count, distinct count, sortedness, byte
+sizes — one vectorized pass per Arrow batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+@dataclass
+class BatchStats:
+    n: int
+    null_count: int
+    min: Any = None  # typed min over non-null values (bytes for binary)
+    max: Any = None
+    ndv: int = 0  # distinct over non-nulls (exact per batch)
+    run_count: int = 0  # value-change count + 1 over non-nulls
+    sorted_frac: float = 1.0  # fraction of non-decreasing adjacent pairs
+    raw_bytes: int = 0  # in-memory value bytes (offsets excluded)
+
+    @property
+    def nonnull(self) -> int:
+        return self.n - self.null_count
+
+
+def compute(arr: pa.Array) -> BatchStats:
+    n = len(arr)
+    null_count = arr.null_count
+    st = BatchStats(n=n, null_count=null_count)
+    vals = arr.drop_null() if null_count else arr
+    m = len(vals)
+    if m == 0:
+        return st
+
+    st.ndv = len(pc.unique(vals))
+    mm = pc.min_max(vals)
+    st.min, st.max = mm["min"].as_py(), mm["max"].as_py()
+
+    if pa.types.is_binary(vals.type) or pa.types.is_string(vals.type) or pa.types.is_large_string(vals.type):
+        st.raw_bytes = int(pc.sum(pc.binary_length(vals)).as_py() or 0)
+        if isinstance(st.min, str):
+            st.min, st.max = st.min.encode(), st.max.encode()
+        # run/sortedness over dictionary codes (cheap, order-preserving not
+        # needed for run counting)
+        codes = vals.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        changes = int((codes[1:] != codes[:-1]).sum()) if m > 1 else 0
+        st.run_count = changes + 1
+        st.sorted_frac = 1.0  # byte-order sortedness not tracked for binary
+    elif pa.types.is_boolean(vals.type):
+        st.raw_bytes = m
+        v = vals.to_numpy(zero_copy_only=False)
+        st.run_count = int((v[1:] != v[:-1]).sum()) + 1 if m > 1 else 1
+    else:
+        v = vals.to_numpy(zero_copy_only=False)
+        if np.issubdtype(v.dtype, np.datetime64):
+            v = v.astype("datetime64[us]").astype(np.int64)
+        st.raw_bytes = v.nbytes
+        if m > 1:
+            st.run_count = int((v[1:] != v[:-1]).sum()) + 1
+            st.sorted_frac = float((v[1:] >= v[:-1]).mean())
+        else:
+            st.run_count = 1
+    return st
+
+
+@dataclass
+class ChunkStats:
+    """Page stats reduced to chunk level (reference write/statistics.rs:
+    reduce drops distinct_count; we keep a *max-of-ndv* hint instead)."""
+
+    n: int = 0
+    null_count: int = 0
+    min: Any = None
+    max: Any = None
+    ndv_hint: int = 0
+    raw_bytes: int = 0
+    n_pages: int = 0
+    page_stats: list[BatchStats] = field(default_factory=list)
+
+
+def reduce(pages: list[BatchStats], keep_pages: bool = True) -> ChunkStats:
+    out = ChunkStats()
+    for ps in pages:
+        out.n += ps.n
+        out.null_count += ps.null_count
+        out.raw_bytes += ps.raw_bytes
+        out.n_pages += 1
+        out.ndv_hint = max(out.ndv_hint, ps.ndv)
+        if ps.min is not None and (out.min is None or ps.min < out.min):
+            out.min = ps.min
+        if ps.max is not None and (out.max is None or ps.max > out.max):
+            out.max = ps.max
+    if keep_pages:
+        out.page_stats = list(pages)
+    return out
