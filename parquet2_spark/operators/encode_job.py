@@ -1,0 +1,359 @@
+"""The encode job: DataFrame → per-partition column chunks + lineage sidecar.
+
+Lifecycle parity with the reference's write path (SURVEY §3.2):
+arrays → pages (Arrow batches) → encoded pages → column chunk rows →
+snapshot directory + metadata sidecar (≙ ``write_metadata_sidecar``,
+reference src/write/file.rs:61-75). Spark specifics:
+
+- **Salted repartitioning**: rows are bucketed by host; hosts whose count
+  exceeds the per-partition target are split across ``ceil(count/target)``
+  salt buckets (xxhash64(url) % k), so hot hosts (and hot languages that
+  ride along with them) can't produce straggler partitions.
+- **Deterministic part_id**: the partition key is a *computed column*
+  (not Spark's physical partition index), so a resumed run reproduces the
+  identical partition → rows mapping.
+- **Checkpoint-resume**: each partition commits independently — data file
+  first (tmp + atomic rename), then a commit marker with its metrics.
+  A resumed job lists commit markers and encodes only missing partitions.
+- **Per-partition lineage**: every commit marker carries codec mix,
+  sizes, page stats and wall time; ``finalize`` merges them into the
+  snapshot-level ``_lineage.json`` sidecar.
+
+Snapshot layout (Iceberg-style: immutable data files + manifest):
+    <snapshot>/chunks/part-<part_id>.parquet
+    <snapshot>/_commits/<part_id>.json
+    <snapshot>/_lineage.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import asdict, dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import blob
+from ..functions.selector import SelectorConfig
+
+CHUNK_SCHEMA = (
+    "part_id long, column string, type_code int, n_rows long, null_count long, "
+    "n_pages int, codecs string, outers string, raw_bytes long, enc_bytes long, "
+    "min_bin binary, max_bin binary, min_num long, max_num long, "
+    "page_rows string, wall_s double"
+)
+
+CHUNK_PA_SCHEMA = pa.schema(
+    [
+        ("part_id", pa.int64()),
+        ("column", pa.string()),
+        ("type_code", pa.int32()),
+        ("n_rows", pa.int64()),
+        ("null_count", pa.int64()),
+        ("n_pages", pa.int32()),
+        ("codecs", pa.string()),
+        ("outers", pa.string()),
+        ("raw_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("min_bin", pa.binary()),
+        ("max_bin", pa.binary()),
+        ("min_num", pa.int64()),
+        ("max_num", pa.int64()),
+        ("page_rows", pa.string()),
+        ("page_mins", pa.string()),
+        ("page_maxs", pa.string()),
+        ("payload", pa.binary()),
+    ]
+)
+
+
+@dataclass
+class EncodeConfig:
+    target_rows: int = 131_072  # rows per partition (≙ row-group size)
+    page_rows: int = 8_192  # rows per page (≙ data page size)
+    sort_by: str | None = "url"  # sort within partition (front-coding wins)
+    key: str = "url"  # unique key used for salting hot hosts
+    host_from_key: bool = True  # bucket by host(url) for locality
+    selector: SelectorConfig = field(default_factory=SelectorConfig)
+    num_partitions: int | None = None  # override partition count
+    shuffle: bool = True  # False: keep input partitioning (no shuffle pass)
+
+
+def _host_col(key: str):
+    return F.substring_index(F.substring_index(F.col(key), "/", 3), "//", -1)
+
+
+def plan_partitions(df: DataFrame, cfg: EncodeConfig) -> tuple[DataFrame, int]:
+    """Assign a deterministic ``_part_id`` with salting for hot hosts.
+
+    Two light aggregation passes (host counts; total), both map-side
+    combinable — at 100 TB these reduce to one small shuffle each, and the
+    hot-host table is broadcast, never shuffled with the data.
+    """
+    host = _host_col(cfg.key) if cfg.host_from_key else F.col(cfg.key)
+    with_host = df.withColumn("_host", host)
+
+    counts = with_host.groupBy("_host").count()
+    hot = counts.filter(F.col("count") > cfg.target_rows).withColumn(
+        "_salt_k", F.ceil(F.col("count") / cfg.target_rows).cast("int")
+    )
+    total = counts.agg(F.sum("count"), F.count("*")).collect()[0]
+    total_rows = total[0] or 0
+    n_parts = cfg.num_partitions or max(1, int(np.ceil(total_rows / cfg.target_rows)))
+
+    salted = (
+        with_host.join(F.broadcast(hot.select("_host", "_salt_k")), "_host", "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_salt_k").isNotNull(),
+                F.pmod(F.xxhash64(F.col(cfg.key)), F.col("_salt_k")),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_part_id",
+            F.pmod(F.xxhash64(F.col("_host"), F.col("_salt")), F.lit(n_parts)).cast("long"),
+        )
+        .drop("_salt_k", "_salt", "_host")
+    )
+    return salted, n_parts
+
+
+def _stat_cols(meta: blob.ChunkMeta):
+    """(min_bin, max_bin, min_num, max_num) from typed chunk min/max."""
+    mn, mx = meta.min, meta.max
+    if isinstance(mn, (bytes, bytearray)) or isinstance(mx, (bytes, bytearray)):
+        return bytes(mn) if mn is not None else None, bytes(mx) if mx is not None else None, None, None
+    def as_num(v):
+        if v is None:
+            return None
+        if hasattr(v, "timestamp"):  # datetime → micros
+            import datetime as _dt
+
+            if isinstance(v, _dt.datetime):
+                epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+                return int((v - epoch).total_seconds() * 1_000_000)
+        if isinstance(v, float):
+            return None  # float stats not kept in num zone map
+        return int(v)
+    return None, None, as_num(mn), as_num(mx)
+
+
+_SPARK_TO_PA = {
+    "string": pa.string(),
+    "binary": pa.binary(),
+    "timestamp": pa.timestamp("us"),
+    "bigint": pa.int64(),
+    "int": pa.int32(),
+    "smallint": pa.int16(),
+    "tinyint": pa.int8(),
+    "double": pa.float64(),
+    "float": pa.float32(),
+    "boolean": pa.bool_(),
+    "date": pa.date32(),
+}
+
+
+def _encode_partition_pandas(
+    pdf: pd.DataFrame,
+    cfg: EncodeConfig,
+    snapshot_dir: str,
+    columns: list[str],
+    dtypes: dict[str, str],
+) -> pd.DataFrame:
+    t0 = time.time()
+    part_id = int(pdf["_part_id"].iloc[0])
+    if cfg.sort_by and cfg.sort_by in pdf.columns:
+        pdf = pdf.sort_values(cfg.sort_by, kind="mergesort", ignore_index=True)
+    # explicit schema: an all-null object column must keep its Spark type
+    schema = pa.schema([(c, _SPARK_TO_PA[dtypes[c]]) for c in columns])
+    table = pa.Table.from_pandas(pdf[columns], schema=schema, preserve_index=False)
+
+    rows = []
+    n = table.num_rows
+    page_slices = [(i, min(cfg.page_rows, n - i)) for i in range(0, n, cfg.page_rows)] or [(0, 0)]
+    for col in columns:
+        arr = table.column(col)
+        arr = arr.combine_chunks() if arr.num_chunks != 1 else arr.chunk(0)
+        pages = [arr.slice(s, ln) for s, ln in page_slices] if n else [arr]
+        payload, meta = blob.encode_chunk(pages, cfg.selector)
+        min_bin, max_bin, min_num, max_num = _stat_cols(meta)
+        rows.append(
+            {
+                "part_id": part_id,
+                "column": col,
+                "type_code": meta.type_code,
+                "n_rows": meta.n_rows,
+                "null_count": meta.null_count,
+                "n_pages": meta.n_pages,
+                "codecs": ",".join(meta.codecs),
+                "outers": ",".join(o for o in meta.outers if o),
+                "raw_bytes": meta.raw_bytes,
+                "enc_bytes": meta.enc_bytes,
+                "min_bin": min_bin,
+                "max_bin": max_bin,
+                "min_num": min_num,
+                "max_num": max_num,
+                "page_rows": json.dumps(meta.page_rows),
+                "page_mins": json.dumps([_jsafe(v) for v in meta.page_mins]),
+                "page_maxs": json.dumps([_jsafe(v) for v in meta.page_maxs]),
+                "payload": payload,
+            }
+        )
+
+    out = pa.Table.from_pylist(rows, schema=CHUNK_PA_SCHEMA)
+    chunks_dir = os.path.join(snapshot_dir, "chunks")
+    commits_dir = os.path.join(snapshot_dir, "_commits")
+    os.makedirs(chunks_dir, exist_ok=True)
+    os.makedirs(commits_dir, exist_ok=True)
+    final = os.path.join(chunks_dir, f"part-{part_id:06d}.parquet")
+    # stage outside chunks/ — Spark scans every file in that dir as
+    # parquet, so a crash mid-write must not leave a readable torn file
+    tmp_dir = os.path.join(snapshot_dir, "_tmp")
+    os.makedirs(tmp_dir, exist_ok=True)
+    tmp = os.path.join(tmp_dir, f"part-{part_id:06d}-{uuid.uuid4().hex[:8]}")
+    # our payloads are already compressed — store them raw
+    pq.write_table(out, tmp, compression="none")
+    os.replace(tmp, final)
+
+    wall = time.time() - t0
+    marker = {
+        "part_id": part_id,
+        "file": os.path.basename(final),
+        "rows": int(n),
+        "wall_s": wall,
+        "chunks": [
+            {k: _jsafe(v) for k, v in r.items() if k != "payload"} for r in rows
+        ],
+    }
+    mtmp = os.path.join(commits_dir, f"{part_id}.json.tmp-{uuid.uuid4().hex[:8]}")
+    with open(mtmp, "w") as f:
+        json.dump(marker, f)
+    os.replace(mtmp, os.path.join(commits_dir, f"{part_id}.json"))
+
+    metrics = pd.DataFrame(
+        [{k: v for k, v in r.items() if k not in ("payload", "page_mins", "page_maxs")} for r in rows]
+    )
+    metrics["wall_s"] = wall
+    return metrics
+
+
+def _jsafe(v):
+    if isinstance(v, (bytes, bytearray)):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def committed_parts(snapshot_dir: str) -> set[int]:
+    commits = os.path.join(snapshot_dir, "_commits")
+    if not os.path.isdir(commits):
+        return set()
+    return {
+        int(f.split(".")[0])
+        for f in os.listdir(commits)
+        if f.endswith(".json") and f.split(".")[0].isdigit()
+    }
+
+
+def encode(
+    spark: SparkSession,
+    df: DataFrame,
+    snapshot_dir: str,
+    cfg: EncodeConfig | None = None,
+    resume: bool = True,
+) -> dict:
+    """Run the encode job; returns the lineage dict (also written as the
+    ``_lineage.json`` sidecar)."""
+    cfg = cfg or EncodeConfig()
+    columns = df.columns
+    dtypes = dict(df.dtypes)
+    t0 = time.time()
+
+    planned, n_parts = plan_partitions(df, cfg)
+
+    already = committed_parts(snapshot_dir) if resume else set()
+    if already:
+        planned = planned.filter(~F.col("_part_id").isin([int(p) for p in already]))
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return _encode_partition_pandas(pdf, cfg, snapshot_dir, columns, dtypes)
+
+    metrics_df = planned.groupBy("_part_id").applyInPandas(run, CHUNK_SCHEMA)
+    # the action that executes the job; metrics come back small
+    metrics = metrics_df.toPandas()
+
+    return finalize(snapshot_dir, cfg, columns, df, n_parts, time.time() - t0, len(already))
+
+
+def finalize(
+    snapshot_dir: str,
+    cfg: EncodeConfig,
+    columns: list[str],
+    df: DataFrame,
+    n_parts: int,
+    wall_s: float,
+    resumed_parts: int = 0,
+) -> dict:
+    commits_dir = os.path.join(snapshot_dir, "_commits")
+    markers = []
+    for f in sorted(os.listdir(commits_dir)) if os.path.isdir(commits_dir) else []:
+        if f.endswith(".json"):
+            with open(os.path.join(commits_dir, f)) as fh:
+                markers.append(json.load(fh))
+
+    per_col: dict[str, dict] = {}
+    for m in markers:
+        for c in m["chunks"]:
+            agg = per_col.setdefault(
+                c["column"], {"raw_bytes": 0, "enc_bytes": 0, "n_rows": 0, "codecs": set()}
+            )
+            agg["raw_bytes"] += c["raw_bytes"]
+            agg["enc_bytes"] += c["enc_bytes"]
+            agg["n_rows"] += c["n_rows"]
+            agg["codecs"].update(c["codecs"].split(","))
+
+    lineage = {
+        "snapshot": snapshot_dir,
+        "created_unix": time.time(),
+        "config": {
+            "target_rows": cfg.target_rows,
+            "page_rows": cfg.page_rows,
+            "sort_by": cfg.sort_by,
+            "key": cfg.key,
+            "outer": cfg.selector.outer,
+        },
+        "schema": {c: t for c, t in df.dtypes},
+        "columns": columns,
+        "n_partitions_planned": n_parts,
+        "n_partitions_committed": len(markers),
+        "resumed_partitions_skipped": resumed_parts,
+        "rows": sum(m["rows"] for m in markers),
+        "raw_bytes": sum(a["raw_bytes"] for a in per_col.values()),
+        "enc_bytes": sum(a["enc_bytes"] for a in per_col.values()),
+        "wall_s": wall_s,
+        "per_column": {
+            k: {**v, "codecs": sorted(v["codecs"])} for k, v in sorted(per_col.items())
+        },
+        "partitions": [
+            {k: m[k] for k in ("part_id", "file", "rows", "wall_s")} for m in markers
+        ],
+    }
+    tmp = os.path.join(snapshot_dir, f"_lineage.json.tmp-{uuid.uuid4().hex[:8]}")
+    os.makedirs(snapshot_dir, exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(lineage, f, indent=1)
+    os.replace(tmp, os.path.join(snapshot_dir, "_lineage.json"))
+    return lineage

@@ -1,0 +1,135 @@
+"""End-to-end: generate webpages → encode snapshot → decode → bit-identity,
+plus checkpoint-resume (FIXTURES F5) and salting (F4) behavior."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from parquet2_spark.operators import decode_job, validate
+from parquet2_spark.operators.encode_job import (
+    EncodeConfig,
+    committed_parts,
+    encode,
+    plan_partitions,
+)
+from parquet2_spark.sources import webgen
+
+N_ROWS = 3000
+
+
+@pytest.fixture(scope="module")
+def webpages(spark):
+    df = webgen.webpages_df(spark, N_ROWS, partitions=4).cache()
+    df.count()
+    return df
+
+
+def _cfg(**kw):
+    base = dict(target_rows=500, page_rows=200)
+    base.update(kw)
+    return EncodeConfig(**base)
+
+
+def test_encode_decode_bit_identical(spark, webpages, tmp_path_factory):
+    snap = str(tmp_path_factory.mktemp("snap"))
+    lin = encode(spark, webpages, snap, _cfg())
+    assert lin["rows"] == N_ROWS
+    assert lin["n_partitions_committed"] >= 1
+    assert lin["enc_bytes"] < lin["raw_bytes"]
+    # every column present with a sane codec mix
+    assert set(lin["per_column"]) == {"url", "warc_ts", "html", "text", "lang"}
+    assert "dict" in lin["per_column"]["lang"]["codecs"] or "constant" in lin["per_column"]["lang"]["codecs"]
+
+    report = validate.validate(spark, webpages, snap)
+    assert report["bit_identical"], report
+
+
+def test_validate_size_vs_pyarrow_reference(spark, webpages, tmp_path_factory):
+    snap = str(tmp_path_factory.mktemp("snap_sz"))
+    encode(spark, webpages, snap, _cfg())
+    ref = str(tmp_path_factory.mktemp("ref") / "ref.parquet")
+    report = validate.validate(spark, webpages, snap, reference_parquet=ref)
+    assert report["bit_identical"]
+    assert report["beats_reference"], report
+
+
+def test_resume_skips_committed_and_matches_clean_run(spark, webpages, tmp_path_factory):
+    snap_a = str(tmp_path_factory.mktemp("snap_a"))  # clean single run
+    snap_b = str(tmp_path_factory.mktemp("snap_b"))  # interrupted + resumed
+
+    lin_a = encode(spark, webpages, snap_a, _cfg())
+
+    # simulate an interrupted run: encode only a subset of partitions by
+    # pre-committing... instead run fully, then delete some commits+files
+    lin_b1 = encode(spark, webpages, snap_b, _cfg())
+    committed = sorted(committed_parts(snap_b))
+    kill = committed[len(committed) // 2 :]
+    for pid in kill:
+        os.remove(os.path.join(snap_b, "_commits", f"{pid}.json"))
+        os.remove(os.path.join(snap_b, "chunks", f"part-{pid:06d}.parquet"))
+    assert committed_parts(snap_b) != set(committed)
+
+    lin_b2 = encode(spark, webpages, snap_b, _cfg())  # resume
+    assert lin_b2["resumed_partitions_skipped"] == len(committed) - len(kill)
+    assert sorted(committed_parts(snap_b)) == committed
+
+    # snapshots identical: same chunk metadata, decoded data bit-identical
+    ca = decode_job.chunks_df(spark, snap_a).drop("payload").orderBy("part_id", "column").toPandas()
+    cb = decode_job.chunks_df(spark, snap_b).drop("payload").orderBy("part_id", "column").toPandas()
+    assert ca.equals(cb)
+    report = validate.validate(spark, webpages, snap_b)
+    assert report["bit_identical"]
+
+
+def test_salting_bounds_partition_skew(spark, tmp_path_factory):
+    # 80% of rows on one host (FIXTURES F4 shape)
+    from pyspark.sql import functions as F
+
+    df = webgen.webpages_df(spark, 2000, partitions=4).withColumn(
+        "url",
+        F.when(
+            F.rand(7) < 0.8,
+            F.concat(F.lit("https://hot.example.com/x/"), F.col("url")),
+        ).otherwise(F.col("url")),
+    )
+    cfg = _cfg(target_rows=250)
+    planned, n_parts = plan_partitions(df, cfg)
+    sizes = planned.groupBy("_part_id").count().toPandas()["count"]
+    assert len(sizes) > 4  # the hot host was split across salt buckets
+    assert sizes.max() <= 2.5 * max(250, sizes.median())
+
+
+def test_decode_projection_reads_only_requested_columns(spark, webpages, tmp_path_factory):
+    snap = str(tmp_path_factory.mktemp("snap_proj"))
+    encode(spark, webpages, snap, _cfg())
+    out = decode_job.decode(spark, snap, columns=["url", "lang"])
+    assert set(out.columns) == {"url", "lang"}
+    assert out.count() == N_ROWS
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert "en" in langs
+
+
+def test_zone_map_key_range_prunes_partitions(spark, webpages, tmp_path_factory):
+    snap = str(tmp_path_factory.mktemp("snap_zm"))
+    encode(spark, webpages, snap, _cfg())
+    full = decode_job.decode(spark, snap, columns=["url"])
+    lo, hi = "https://host0000", "https://host00201"
+    pruned = decode_job.decode(spark, snap, columns=["url"], key_range=("url", lo, hi))
+    got = pruned.filter((F_col := __import__("pyspark.sql.functions", fromlist=["col"]).col)("url").between(lo, hi)).count()
+    want = full.filter(F_col("url").between(lo, hi)).count()
+    assert got == want and want > 0
+
+
+def test_stats_query(spark, webpages, tmp_path_factory):
+    snap = str(tmp_path_factory.mktemp("snap_st"))
+    encode(spark, webpages, snap, _cfg())
+    st = decode_job.stats(spark, snap).toPandas()
+    assert set(st["column"]) == {"url", "warc_ts", "html", "text", "lang"}
+    ts = st[st["column"] == "warc_ts"]
+    assert int(ts["rows"].sum()) == N_ROWS
+    assert int(ts["min_num"].min()) >= 1_704_067_200_000_000
