@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline numbers:
+- encode throughput (GB/s) over the Common-Crawl-style web table
+  (BASELINE.json north rule), decode throughput, validate wall time;
+- engine operator timings on the sf testdata tables;
+- N vs 4N scaling: the same encode job at local[N] and local[4N] on the
+  same input (the sandbox proxy for two cluster sizes, BASELINE.md),
+  reporting throughput at both + efficiency = (thr_4N / thr_N) / 4.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_ROWS (default 1.2M × sf web rows),
+     SPARK_GRAFT_SKIP_SCALING=1 to skip the two-session scaling pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+try:
+    SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+except ValueError:
+    SF = 0.1
+WEB_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", max(2000, int(1_200_000 * SF))))
+WORK = "/tmp/p2s_bench"
+
+
+def session(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"p2s-bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(cores))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def ensure_web_input(spark) -> str:
+    """Generate the web table once, persist as parquet — encode benchmarks
+    read it back so generation cost never pollutes encode timing."""
+    path = os.path.join(WORK, f"webpages_{WEB_ROWS}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from parquet2_spark.sources import webgen
+
+        webgen.webpages_df(spark, WEB_ROWS, partitions=CPUS * 2).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def encode_run(spark, web_path: str, tag: str) -> dict:
+    from parquet2_spark.operators.encode_job import EncodeConfig, encode
+
+    snap = os.path.join(WORK, f"snap_{tag}")
+    shutil.rmtree(snap, ignore_errors=True)
+    df = spark.read.parquet(web_path)
+    # tasks ≫ slots: ≥4 waves at the max core count so stragglers don't
+    # dominate (the same rule that holds on a real cluster)
+    cfg = EncodeConfig(
+        target_rows=max(1024, WEB_ROWS // (CPUS * 4)),
+        page_rows=4096,
+        host_sample_fraction=0.1,
+    )
+    t0 = time.time()
+    lin = encode(spark, df, snap, cfg, resume=False)
+    wall = time.time() - t0
+    return {
+        "snap": snap,
+        "wall_s": wall,
+        "raw_bytes": lin["raw_bytes"],
+        "enc_bytes": lin["enc_bytes"],
+        "rows": lin["rows"],
+        "gbps": lin["raw_bytes"] / wall / 1e9,
+    }
+
+
+def main() -> None:
+    os.makedirs(WORK, exist_ok=True)
+    queries: dict[str, float] = {}
+    extra: dict = {}
+
+    spark = session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    web_path = ensure_web_input(spark)
+
+    # --- headline: encode / decode / validate the web table
+    enc = encode_run(spark, web_path, f"main{CPUS}")
+    queries["encode_web"] = round(enc["wall_s"], 3)
+    extra["encode"] = {k: enc[k] for k in ("raw_bytes", "enc_bytes", "rows", "gbps")}
+    extra["encode"]["ratio"] = enc["enc_bytes"] / max(enc["raw_bytes"], 1)
+
+    from parquet2_spark.operators import decode_job, validate
+
+    t0 = time.time()
+    n = decode_job.decode(spark, enc["snap"]).count()
+    queries["decode_web"] = round(time.time() - t0, 3)
+    extra["decode_rows"] = n
+
+    t0 = time.time()
+    src = spark.read.parquet(web_path)
+    rep = validate.compare_frames(src, decode_job.decode(spark, enc["snap"]))
+    queries["validate_web"] = round(time.time() - t0, 3)
+    extra["bit_identical"] = rep["bit_identical"]
+
+    t0 = time.time()
+    decode_job.stats(spark, enc["snap"]).collect()
+    queries["stats_web"] = round(time.time() - t0, 3)
+
+    # --- operator timings on the sf tables
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    for name in (
+        "rt_auto_lineitem",
+        "rt_auto_events",
+        "dedup_exact_docs",
+        "dedup_minhash_pairs",
+        "text_quality_docs",
+        "ann_brute_topk",
+    ):
+        t0 = time.time()
+        qs[name](spark, SF_DIR).count()
+        queries[name] = round(time.time() - t0, 3)
+
+    spark.stop()
+
+    # --- scaling evidence: same job, same input, N vs 4N cores
+    if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
+        # N vs 4N inside the box's linear-scaling region (4 → 16 of 32
+        # physical cores): saturating all 32 hits the VM's frequency /
+        # memory-contention wall, which measures the box, not the job —
+        # a pure-CPU control shows the same knee (see BASELINE.md)
+        n_cores = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_N", CPUS // 8)))
+        n4_cores = n_cores * 4
+        s1 = session(n_cores)
+        s1.sparkContext.setLogLevel("ERROR")
+        run_n = encode_run(s1, web_path, f"scale{n_cores}")
+        s1.stop()
+        s2 = session(n4_cores)
+        s2.sparkContext.setLogLevel("ERROR")
+        run_4n = encode_run(s2, web_path, f"scale{n4_cores}")
+        s2.stop()
+        eff = (run_4n["gbps"] / run_n["gbps"]) / (n4_cores / n_cores)
+        extra["scaling"] = {
+            "cores_n": n_cores,
+            "cores_4n": n4_cores,
+            "gbps_n": round(run_n["gbps"], 4),
+            "gbps_4n": round(run_4n["gbps"], 4),
+            "wall_n_s": round(run_n["wall_s"], 3),
+            "wall_4n_s": round(run_4n["wall_s"], 3),
+            "efficiency": round(eff, 3),
+        }
+        queries["encode_web_scaleN"] = round(run_n["wall_s"], 3)
+        queries["encode_web_scale4N"] = round(run_4n["wall_s"], 3)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF,
+                "web_rows": WEB_ROWS,
+                **extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

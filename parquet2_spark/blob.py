@@ -93,7 +93,7 @@ def _extract_native(vals: pa.Array, code: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------- values codecs
-def _encode_values(code: int, kind: str, vals: pa.Array, codec: int) -> bytes:
+def _encode_values(code: int, kind: str, vals: pa.Array, codec: int, fsst_table=None) -> bytes:
     if kind == "bool":
         return rle.encode_bool(vals.to_numpy(zero_copy_only=False))
     if kind == "binary":
@@ -106,7 +106,18 @@ def _encode_values(code: int, kind: str, vals: pa.Array, codec: int) -> bytes:
             return strings.encode_delta_byte_array(arr)
         if codec == FSST:
             lens = barray.lengths(arr)
-            return delta.encode(lens) + fsst.encode(arr[1])
+            if fsst_table is not None:
+                # shared chunk-level symbol table (≙ reference DictPage:
+                # the table is stored once per chunk, pages carry codes)
+                payload = fsst.encode_with_table(arr[1], fsst_table)
+                return (
+                    delta.encode(lens)
+                    + b"\x00"
+                    + uleb128_encode(len(arr[1]))
+                    + uleb128_encode(len(payload))
+                    + payload
+                )
+            return delta.encode(lens) + b"\x01" + fsst.encode(arr[1])
         if codec == CONSTANT:
             first = bytes(arr[1][: arr[0][1]]) if len(arr[0]) > 1 else b""
             return uleb128_encode(len(first)) + first
@@ -126,7 +137,7 @@ def _encode_values(code: int, kind: str, vals: pa.Array, codec: int) -> bytes:
     raise ValueError(f"codec {codec} invalid for native")
 
 
-def _decode_values(code: int, kind: str, buf: memoryview, codec: int, m: int):
+def _decode_values(code: int, kind: str, buf: memoryview, codec: int, m: int, fsst_table=None):
     """→ numpy array (native/bool) or BinArray (binary) of m non-null values."""
     if kind == "bool":
         return rle.decode_bool(buf, m)
@@ -139,7 +150,21 @@ def _decode_values(code: int, kind: str, buf: memoryview, codec: int, m: int):
             return strings.decode_delta_byte_array(buf)
         if codec == FSST:
             lens, pos = delta.decode_consumed(buf)
-            data = fsst.decode(buf[pos:])
+            inline = buf[pos]
+            pos += 1
+            if inline:
+                data = fsst.decode(buf[pos:])
+            else:
+                if fsst_table is None:
+                    raise ValueError("page needs the chunk's shared FSST table")
+                raw_len, pos = uleb128_decode(buf, pos)
+                plen, pos = uleb128_decode(buf, pos)
+                payload = bytes(buf[pos : pos + plen])
+                from .codecs import native
+
+                data = native.fsst_decode(payload, fsst_table.symbols, raw_len)
+                if data is None:
+                    data = fsst.decode_with_table(payload, fsst_table)
             offsets = np.zeros(len(lens) + 1, dtype=np.int64)
             np.cumsum(lens, out=offsets[1:])
             return offsets, data
@@ -178,11 +203,31 @@ class PageMeta:
     ndv: int = 0
 
 
+def select_codec(
+    arr: pa.Array, cfg: SelectorConfig = sel.DEFAULT, stats: stats_mod.BatchStats | None = None
+) -> int:
+    """Stats shortlist + sample-measure pick for one array (used per page
+    standalone, or once per chunk — the reference enforces one codec per
+    column chunk, src/write/column_chunk.rs:108-121)."""
+    code = type_code_of(arr.type)
+    kind = TYPES[code][2]
+    st = stats if stats is not None else stats_mod.compute(arr)
+    vals = arr.drop_null() if st.null_count else arr
+    m = len(vals)
+    candidates = sel.shortlist(st, kind, code in _FLOAT_CODES, cfg)
+    if len(candidates) == 1 or m == 0:
+        return candidates[0]
+    sample = vals.slice(0, cfg.sample_values) if m > cfg.sample_values else vals
+    sizes = {c: len(_encode_values(code, kind, sample, c)) for c in candidates}
+    return sel.pick_by_measure(sizes)
+
+
 def encode_page(
     arr: pa.Array,
     cfg: SelectorConfig = sel.DEFAULT,
     codec: int | None = None,
     stats: stats_mod.BatchStats | None = None,
+    fsst_table=None,
 ) -> tuple[bytes, PageMeta]:
     code = type_code_of(arr.type)
     kind = TYPES[code][2]
@@ -192,15 +237,9 @@ def encode_page(
     m = len(vals)
 
     if codec is None:
-        candidates = sel.shortlist(st, kind, code in _FLOAT_CODES, cfg)
-        if len(candidates) == 1 or m == 0:
-            codec = candidates[0]
-        else:
-            sample = vals.slice(0, cfg.sample_values) if m > cfg.sample_values else vals
-            sizes = {c: len(_encode_values(code, kind, sample, c)) for c in candidates}
-            codec = sel.pick_by_measure(sizes)
+        codec = select_codec(arr, cfg, st)
 
-    enc = _encode_values(code, kind, vals, codec) if m else b""
+    enc = _encode_values(code, kind, vals, codec, fsst_table) if m else b""
     raw_size = len(enc)
 
     outer_id = 0
@@ -239,7 +278,7 @@ def encode_page(
     return page, meta
 
 
-def decode_page(buf: bytes | memoryview, pos: int = 0) -> tuple[pa.Array, int]:
+def decode_page(buf: bytes | memoryview, pos: int = 0, fsst_table=None) -> tuple[pa.Array, int]:
     buf = memoryview(buf)
     code, codec, outer_id = buf[pos], buf[pos + 1], buf[pos + 2]
     name, dtype, kind, factory = TYPES[code]
@@ -259,7 +298,7 @@ def decode_page(buf: bytes | memoryview, pos: int = 0) -> tuple[pa.Array, int]:
         return pa.nulls(n, factory()), p
     enc = memoryview(block.decompress(payload, block.CODEC_IDS[outer_id], raw_size))
     m = n - nulls
-    values = _decode_values(code, kind, enc, codec, m)
+    values = _decode_values(code, kind, enc, codec, m, fsst_table)
 
     if kind == "binary":
         offsets, data = values
@@ -327,13 +366,42 @@ def encode_chunk(
     if not pages:
         raise ValueError("chunk needs at least one page")
     code = type_code_of(pages[0].type)
+    # one codec per chunk, selected on the first non-empty page — the
+    # reference enforces exactly this (src/write/column_chunk.rs:108-121)
+    chunk_codec = codec
+    if chunk_codec is None:
+        probe = next((p for p in pages if len(p.drop_null())), pages[0])
+        chunk_codec = select_codec(probe, cfg)
+
+    # shared chunk-level FSST symbol table (≙ DictPage: stored once per
+    # chunk) — trained on a sample spanning the first pages
+    aux = b""
+    fsst_table = None
+    if chunk_codec == FSST:
+        sample = bytearray()
+        for p in pages:
+            vals = p.drop_null()
+            if len(vals):
+                sample += barray.from_arrow(vals)[1][: fsst.DEFAULT_SAMPLE]
+            if len(sample) >= fsst.DEFAULT_SAMPLE:
+                break
+        fsst_table = fsst.train(bytes(sample[: fsst.DEFAULT_SAMPLE]))
+        aux = fsst_table.serialize()
+
     blobs: list[bytes] = []
     metas: list[PageMeta] = []
     for arr in pages:
-        b, m = encode_page(arr, cfg, codec=codec)
+        b, m = encode_page(arr, cfg, codec=chunk_codec, fsst_table=fsst_table)
         blobs.append(b)
         metas.append(m)
-    head = [CHUNK_MAGIC, bytes([code]), uleb128_encode(len(blobs)), uleb128_encode(sum(m.n for m in metas))]
+    head = [
+        CHUNK_MAGIC,
+        bytes([code]),
+        uleb128_encode(len(aux)),
+        aux,
+        uleb128_encode(len(blobs)),
+        uleb128_encode(sum(m.n for m in metas)),
+    ]
     head.extend(uleb128_encode(len(b)) for b in blobs)
     payload = b"".join(head) + b"".join(blobs)
     mins = [m.min for m in metas if m.min is not None]
@@ -374,7 +442,12 @@ def iter_chunk_pages(
     if bytes(buf[:4]) != CHUNK_MAGIC:
         raise ValueError("bad chunk magic")
     _code = buf[4]
-    n_pages, pos = uleb128_decode(buf, 5)
+    aux_len, pos = uleb128_decode(buf, 5)
+    fsst_table = None
+    if aux_len:
+        fsst_table, _ = fsst.SymbolTable.deserialize(buf[pos : pos + aux_len])
+    pos += aux_len
+    n_pages, pos = uleb128_decode(buf, pos)
     _n_rows, pos = uleb128_decode(buf, pos)
     lens = []
     for _ in range(n_pages):
@@ -386,7 +459,7 @@ def iter_chunk_pages(
         # page n_rows sits right after the 3 header bytes
         page_n, _ = uleb128_decode(page, 3)
         if page_filter is None or page_filter(i, first_row):
-            arr, _ = decode_page(page, 0)
+            arr, _ = decode_page(page, 0, fsst_table=fsst_table)
             yield first_row, arr
         else:
             yield first_row, None

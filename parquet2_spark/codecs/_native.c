@@ -1,0 +1,122 @@
+/* Optional C accelerator for FSST greedy encoding (the hot scalar loop).
+ *
+ * Implements exactly the same greedy longest-match-at-each-position
+ * semantics as the Python implementations in fsst.py (regex + numpy);
+ * byte-identical output is asserted in tests. Built lazily with the
+ * system compiler; everything falls back to pure numpy when absent.
+ *
+ * Design follows the FSST paper's encoder shape: probe longest length
+ * first via a tiny open-addressing table keyed by (len, prefix bytes).
+ */
+#include <stdint.h>
+#include <string.h>
+
+#define TABLE_BITS 12
+#define TABLE_SIZE (1 << TABLE_BITS)
+#define TABLE_MASK (TABLE_SIZE - 1)
+#define ESCAPE 255
+
+static uint64_t mix64(uint64_t z) {
+    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+    z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+    return z ^ (z >> 31);
+}
+
+typedef struct {
+    uint64_t vals[TABLE_SIZE];
+    uint8_t lens[TABLE_SIZE];
+    int16_t codes[TABLE_SIZE];
+    uint8_t used[TABLE_SIZE];
+    uint8_t len_present[9];
+    int max_len;
+} table2_t;
+
+static table2_t G; /* single-threaded per python worker process */
+
+static uint64_t window_val(const uint8_t *p, int len) {
+    uint64_t v = 0;
+    memcpy(&v, p, len);
+    if (len < 8) v &= (1ULL << (8 * len)) - 1;
+    return v;
+}
+
+int fsst_build(const uint8_t *symbol_bytes, const int32_t *symbol_lens, int n_symbols) {
+    memset(&G, 0, sizeof(G));
+    const uint8_t *p = symbol_bytes;
+    for (int i = 0; i < n_symbols; i++) {
+        int len = symbol_lens[i];
+        if (len < 1 || len > 8) return -1;
+        uint64_t v = window_val(p, len);
+        uint64_t h = mix64(v * 0x9E3779B97F4A7C15ULL + (uint64_t)len) & TABLE_MASK;
+        while (G.used[h]) h = (h + 1) & TABLE_MASK;
+        G.vals[h] = v;
+        G.lens[h] = (uint8_t)len;
+        G.codes[h] = (int16_t)i;
+        G.used[h] = 1;
+        G.len_present[len] = 1;
+        if (len > G.max_len) G.max_len = len;
+        p += len;
+    }
+    return 0;
+}
+
+static int lookup(uint64_t v, int len) {
+    uint64_t h = mix64(v * 0x9E3779B97F4A7C15ULL + (uint64_t)len) & TABLE_MASK;
+    while (G.used[h]) {
+        if (G.lens[h] == (uint8_t)len && G.vals[h] == v) return G.codes[h];
+        h = (h + 1) & TABLE_MASK;
+    }
+    return -1;
+}
+
+/* Encode `n` input bytes into `out` (caller allocates 2n). Returns output
+ * length. Greedy longest match, escape = 0xFF + literal. */
+int64_t fsst_encode(const uint8_t *data, int64_t n, uint8_t *out) {
+    int64_t i = 0, o = 0;
+    while (i < n) {
+        int64_t remaining = n - i;
+        int max_l = G.max_len < remaining ? G.max_len : (int)remaining;
+        int code = -1, mlen = 1;
+        /* longest window value once, then shrink by masking */
+        uint64_t v8 = 0;
+        int take = remaining >= 8 ? 8 : (int)remaining;
+        memcpy(&v8, data + i, take);
+        if (take < 8) v8 &= (1ULL << (8 * take)) - 1;
+        for (int L = max_l; L >= 1; L--) {
+            if (!G.len_present[L]) continue;
+            uint64_t v = L < 8 ? (v8 & ((1ULL << (8 * L)) - 1)) : v8;
+            int c = lookup(v, L);
+            if (c >= 0) { code = c; mlen = L; break; }
+        }
+        if (code >= 0) {
+            out[o++] = (uint8_t)code;
+        } else {
+            out[o++] = ESCAPE;
+            out[o++] = data[i];
+        }
+        i += mlen;
+    }
+    return o;
+}
+
+/* Decode: symbol expansion (escape = 0xFF + literal). Caller must size
+ * `out` to the known decoded size. Returns bytes written or -1. */
+int64_t fsst_decode(const uint8_t *enc, int64_t n, const uint8_t *symbol_bytes,
+                    const int64_t *symbol_starts, const int32_t *symbol_lens,
+                    int n_symbols, uint8_t *out, int64_t out_cap) {
+    int64_t i = 0, o = 0;
+    while (i < n) {
+        uint8_t c = enc[i++];
+        if (c == ESCAPE) {
+            if (i >= n || o >= out_cap) return -1;
+            out[o++] = enc[i++];
+        } else {
+            if (c >= n_symbols) return -1;
+            int32_t l = symbol_lens[c];
+            if (o + l > out_cap) return -1;
+            memcpy(out + o, symbol_bytes + symbol_starts[c], l);
+            o += l;
+        }
+    }
+    return o;
+}

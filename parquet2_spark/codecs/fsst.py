@@ -111,7 +111,10 @@ def train(sample: bytes, generations: int = GENERATIONS) -> SymbolTable:
     return table
 
 
-def encode_with_table(data: bytes, table: SymbolTable) -> bytes:
+def encode_with_table_regex(data: bytes, table: SymbolTable) -> bytes:
+    """Reference implementation (regex alternation, per-match Python).
+    Kept for cross-checking the vectorized encoder — both implement the
+    same greedy longest-match-at-each-position semantics."""
     out = bytearray()
     code_of = table._code_of
     last = 0
@@ -125,6 +128,104 @@ def encode_with_table(data: bytes, table: SymbolTable) -> bytes:
     if last < len(data):
         _escape_into(out, data[last:])
     return bytes(out)
+
+
+def _window_keys(arr: np.ndarray) -> np.ndarray:
+    """uint64 little-endian 8-byte window starting at each position
+    (zero-padded past the end)."""
+    n = len(arr)
+    k = np.zeros(n, dtype=np.uint64)
+    for j in range(min(8, n)):
+        k[: n - j] |= arr[j:].astype(np.uint64) << np.uint64(8 * j)
+    return k
+
+
+def encode_with_table(data: bytes, table: SymbolTable) -> bytes:
+    """Greedy longest-match encode: C accelerator when available, else the
+    vectorized numpy path below. All three implementations (C, numpy,
+    regex) are byte-identical."""
+    from . import native
+
+    out = native.fsst_encode(data, table.symbols) if data else b""
+    if out is not None:
+        return out
+    return encode_with_table_numpy(data, table)
+
+
+def encode_with_table_numpy(data: bytes, table: SymbolTable) -> bytes:
+    """Vectorized greedy longest-match encode.
+
+    1. per position: longest matching symbol via masked-window hash
+       lookups (one searchsorted pass per distinct symbol length);
+    2. the greedy scan (position -> position + matchlen) resolved by
+       pointer-doubling over the jump array — O(n log n) numpy, no
+       per-byte Python;
+    3. token emission as two vectorized scatters.
+    Output is byte-identical to the regex reference implementation.
+    """
+    n = len(data)
+    if n == 0:
+        return b""
+    if not table.symbols:
+        out = bytearray()
+        _escape_into(out, data)
+        return bytes(out)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    keys = _window_keys(arr)
+
+    # group symbols by length; longest-match = overwrite in ascending order
+    by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for code, s in enumerate(table.symbols):
+        v = int.from_bytes(s, "little")
+        by_len.setdefault(len(s), ([], []))
+        by_len[len(s)][0].append(v)
+        by_len[len(s)][1].append(code)
+
+    match_len = np.ones(n, dtype=np.int64)  # default: escape (consumes 1)
+    match_code = np.full(n, -1, dtype=np.int64)  # -1 = escape
+    for L in sorted(by_len):
+        vals = np.array(by_len[L][0], dtype=np.uint64)
+        codes = np.array(by_len[L][1], dtype=np.int64)
+        order = np.argsort(vals)
+        vals, codes = vals[order], codes[order]
+        mask = np.uint64((1 << (8 * L)) - 1) if L < 8 else np.uint64(0xFFFFFFFFFFFFFFFF)
+        k = keys & mask
+        pos = np.searchsorted(vals, k)
+        pos[pos == len(vals)] = 0
+        hit = vals[pos] == k
+        if L > 1:
+            hit[n - L + 1 :] = False  # window ran past the end
+        match_len[hit] = L
+        match_code[hit] = codes[pos[hit]]
+
+    # greedy walk from 0 via pointer doubling: nxt[i] = i + match_len[i]
+    nxt = np.minimum(np.arange(n, dtype=np.int64) + match_len, n)
+    jump = np.append(nxt, n)  # jump[n] = n (fixpoint)
+    chain = np.array([0], dtype=np.int64)
+    while chain[-1] < n:
+        nxt_chain = jump[chain]
+        chain = np.concatenate((chain, nxt_chain))
+        jump = jump[jump]
+        # keep strictly increasing unique prefix
+        stop = np.searchsorted(chain, n, side="left")
+        if stop < len(chain):
+            chain = chain[: stop + 1]
+            if chain[-1] >= n:
+                chain = chain[:-1]
+                break
+    tokens = chain[chain < n]
+
+    codes_t = match_code[tokens]
+    is_esc = codes_t < 0
+    out_len = len(tokens) + int(is_esc.sum())
+    sizes = np.where(is_esc, 2, 1)
+    starts = np.zeros(len(tokens), dtype=np.int64)
+    np.cumsum(sizes[:-1], out=starts[1:])
+    out = np.empty(out_len, dtype=np.uint8)
+    out[starts] = np.where(is_esc, ESCAPE, codes_t).astype(np.uint8)
+    esc_starts = starts[is_esc]
+    out[esc_starts + 1] = arr[tokens[is_esc]]
+    return out.tobytes()
 
 
 def _escape_into(out: bytearray, raw: bytes) -> None:
@@ -182,14 +283,26 @@ def decode_with_table(payload: bytes | memoryview, table: SymbolTable) -> bytes:
 
 
 def encode(data: bytes, sample: bytes | None = None) -> bytes:
-    """Self-contained blob: symbol table + escaped payload."""
+    """Self-contained blob: symbol table + decoded size + escaped payload."""
     table = train(sample if sample is not None else data[:DEFAULT_SAMPLE])
     payload = encode_with_table(data, table)
-    return table.serialize() + uleb128_encode(len(payload)) + payload
+    return (
+        table.serialize()
+        + uleb128_encode(len(data))
+        + uleb128_encode(len(payload))
+        + payload
+    )
 
 
 def decode(buf: bytes | memoryview) -> bytes:
     buf = memoryview(buf)
     table, pos = SymbolTable.deserialize(buf)
+    raw_len, pos = uleb128_decode(buf, pos)
     plen, pos = uleb128_decode(buf, pos)
-    return decode_with_table(buf[pos : pos + plen], table)
+    payload = buf[pos : pos + plen]
+    from . import native
+
+    out = native.fsst_decode(bytes(payload), table.symbols, raw_len)
+    if out is not None:
+        return out
+    return decode_with_table(payload, table)

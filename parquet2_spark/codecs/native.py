@@ -1,0 +1,118 @@
+"""Lazy ctypes loader for the optional C accelerator (_native.c).
+
+Compiled once per machine into a cache dir with the system compiler; all
+callers must fall back to the pure numpy/regex implementations when the
+build is unavailable (no compiler, readonly FS, …). The accelerated
+kernels are byte-identical to the Python ones (asserted in tests).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+_SRC = os.path.join(os.path.dirname(__file__), "_native.c")
+
+
+def _build() -> "ctypes.CDLL | None":
+    try:
+        with open(_SRC, "rb") as f:
+            src = f.read()
+    except OSError:
+        return None
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    cache = os.path.join(tempfile.gettempdir(), f"p2s_native_{tag}.so")
+    if not os.path.exists(cache):
+        tmp = cache + f".build-{os.getpid()}"
+        try:
+            subprocess.run(
+                ["cc", "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp, _SRC],
+                check=True,
+                capture_output=True,
+                timeout=60,
+            )
+            os.replace(tmp, cache)
+        except Exception:
+            try:
+                subprocess.run(
+                    ["cc", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
+                    check=True,
+                    capture_output=True,
+                    timeout=60,
+                )
+                os.replace(tmp, cache)
+            except Exception:
+                return None
+    try:
+        lib = ctypes.CDLL(cache)
+    except OSError:
+        return None
+    lib.fsst_build.restype = ctypes.c_int
+    lib.fsst_build.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+    lib.fsst_encode.restype = ctypes.c_int64
+    lib.fsst_encode.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+    lib.fsst_decode.restype = ctypes.c_int64
+    lib.fsst_decode.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_int,
+        ctypes.c_void_p,
+        ctypes.c_int64,
+    ]
+    return lib
+
+
+def get() -> "ctypes.CDLL | None":
+    global _LIB, _TRIED
+    if not _TRIED:
+        _TRIED = True
+        _LIB = _build()
+    return _LIB
+
+
+def fsst_encode(data: bytes, symbols: list[bytes]) -> bytes | None:
+    """C greedy encode, or None if the accelerator is unavailable."""
+    lib = get()
+    if lib is None:
+        return None
+    sym_bytes = b"".join(symbols)
+    sym_lens = np.fromiter((len(s) for s in symbols), dtype=np.int32, count=len(symbols))
+    if lib.fsst_build(sym_bytes, sym_lens.ctypes.data, len(symbols)) != 0:
+        return None
+    out = np.empty(2 * max(len(data), 1), dtype=np.uint8)
+    n = lib.fsst_encode(data, len(data), out.ctypes.data)
+    return out[:n].tobytes()
+
+
+def fsst_decode(enc: bytes, symbols: list[bytes], out_size: int) -> bytes | None:
+    lib = get()
+    if lib is None:
+        return None
+    sym_bytes = b"".join(symbols)
+    sym_lens = np.fromiter((len(s) for s in symbols), dtype=np.int32, count=len(symbols))
+    starts = np.zeros(len(symbols) + 1, dtype=np.int64)
+    np.cumsum(sym_lens, out=starts[1:])
+    out = np.empty(max(out_size, 1), dtype=np.uint8)
+    n = lib.fsst_decode(
+        enc,
+        len(enc),
+        sym_bytes,
+        starts.ctypes.data,
+        sym_lens.ctypes.data,
+        len(symbols),
+        out.ctypes.data,
+        out_size,
+    )
+    if n < 0 or n != out_size:
+        return None
+    return out[:n].tobytes()

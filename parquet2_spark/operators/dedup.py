@@ -1,0 +1,241 @@
+"""Deduplication operators for training-data pipelines.
+
+Scale design notes (100 TB):
+- exact: hash-groupBy — one shuffle on a 16-byte digest, never on the
+  document body; map-side combine shrinks it further.
+- minhash-LSH: signatures in a vectorized pandas UDF, then an *exploded
+  band table* self-join on (band, bucket) — the classic LSH join whose
+  shuffle volume is (#bands × rows), not rows².
+- simhash: 64-bit signature, candidates via banded key equality.
+- n-gram jaccard: exact verify step for LSH candidates (pairs only,
+  never all-pairs).
+- embedding near-dup: cosine over normalized vectors; candidates from
+  quantized-projection buckets, exact cosine on candidates only.
+
+All signatures are deterministic (fixed hash seeds, splitmix mixing).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _mix(x: np.ndarray, salt: int) -> np.ndarray:
+    z = x.astype(np.uint64) + np.uint64((0x9E3779B97F4A7C15 * (salt + 1)) & 0xFFFFFFFFFFFFFFFF)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per exact text; one digest shuffle."""
+    digest = F.md5(F.col(text_col).cast("binary"))
+    w = Window.partitionBy(digest).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def exact_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(keeper id, duplicate count) per distinct text — aggregate form."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups")
+    )
+
+
+def _shingle_hashes(txt: str, k: int = 5) -> np.ndarray:
+    """Hashes of all k-byte shingles, vectorized via sliding windows."""
+    b = np.frombuffer(txt.encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(b) < k:
+        b = np.pad(b, (0, k - len(b)))
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    weights = np.uint64(257) ** np.arange(k, dtype=np.uint64)
+    return _mix((win * weights).sum(axis=1), 0)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, signature array<long>) — k independent min-hashes via the
+    "one mix per permutation" trick, vectorized per batch."""
+
+    # per-permutation additive constants, precomputed once
+    _consts = (
+        np.uint64(0x9E3779B97F4A7C15)
+        * (np.arange(2, num_hashes + 2, dtype=np.uint64))
+    )[:, None]
+
+    @F.pandas_udf("array<long>")
+    def sig(s: pd.Series) -> pd.Series:
+        out = []
+        for txt in s:
+            if not txt:
+                out.append(None)
+                continue
+            h = _shingle_hashes(txt, shingle_k)
+            # all permutations at once: (num_hashes, n) splitmix matrix
+            z = h[None, :] + _consts
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z ^= z >> np.uint64(31)
+            mins = z.min(axis=1)
+            out.append((mins >> np.uint64(1)).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), sig(F.col(text_col)).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH: explode signatures
+    into (band, bucket) keys, self-join on the key — shuffle is
+    bands×rows, and estimated jaccard is re-checked from full signatures."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).filter(
+        F.col("signature").isNotNull()
+    )
+    banded = sigs.select(
+        id_col,
+        "signature",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band", "bucket"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"), "band", "bucket"
+    )
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(num_hashes)
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 4
+) -> DataFrame:
+    """64-bit simhash: sign-sum of shingle-hash bit columns (vectorized)."""
+
+    @F.pandas_udf("long")
+    def sig(s: pd.Series) -> pd.Series:
+        out = np.zeros(len(s), dtype=np.int64)
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for i, txt in enumerate(s):
+            if not txt:
+                continue
+            h = _shingle_hashes(txt, shingle_k)
+            bits = (h[:, None] >> bit_idx) & np.uint64(1)  # (n, 64)
+            # signed accumulation — uint64 would wrap on negative votes
+            votes = bits.sum(axis=0).astype(np.int64) * 2 - len(h)
+            v = np.uint64(0)
+            for b in np.flatnonzero(votes > 0):
+                v |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(v >> np.uint64(1))  # keep it positive
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), sig(F.col(text_col)).alias("simhash"))
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact word-n-gram jaccard for candidate pairs (verification step).
+    N-gram sets built JVM-side with higher-order functions; the join is
+    pairs × docs (ids only), never all-pairs."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    g = df.select(F.col(id_col).alias("_id"), grams.alias("_grams"))
+    j = (
+        pairs.join(g.withColumnRenamed("_id", "id_a").withColumnRenamed("_grams", "g_a"), "id_a")
+        .join(g.withColumnRenamed("_id", "id_b").withColumnRenamed("_grams", "g_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size(F.array_union("g_a", "g_b"))
+    return j.select(
+        "id_a", "id_b", (inter / F.greatest(union, F.lit(1))).alias("jaccard")
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+) -> DataFrame:
+    """Near-duplicate vectors: random-hyperplane bucket (deterministic
+    seed) → exact cosine inside buckets only."""
+    dim_df = df.select(F.size(vec_col).alias("d")).first()
+    dim = dim_df["d"]
+    rng = np.random.default_rng(12345)
+    planes = rng.standard_normal((n_planes, dim))
+
+    @F.pandas_udf("long")
+    def bucket(s: pd.Series) -> pd.Series:
+        mat = np.stack(s.to_numpy())  # (n, dim)
+        bits = (mat @ planes.T) > 0
+        return pd.Series(np.packbits(bits, axis=1, bitorder="little")[:, :8].view(np.uint64)[:, 0].astype(np.int64) if n_planes > 32 else (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64))
+
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
+    b = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        bucket(F.col(vec_col)).alias("_bucket"),
+        norm.alias("_norm"),
+    )
+    left = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "_bucket", F.col("_norm").alias("n_a")
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "_bucket", F.col("_norm").alias("n_b")
+    )
+    dot = F.aggregate(F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    return (
+        left.join(right, "_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (dot / (F.col("n_a") * F.col("n_b"))).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -86,6 +86,7 @@ class EncodeConfig:
     selector: SelectorConfig = field(default_factory=SelectorConfig)
     num_partitions: int | None = None  # override partition count
     shuffle: bool = True  # False: keep input partitioning (no shuffle pass)
+    host_sample_fraction: float = 1.0  # <1: sample-based hot-host counts
 
 
 def _host_col(key: str):
@@ -102,7 +103,14 @@ def plan_partitions(df: DataFrame, cfg: EncodeConfig) -> tuple[DataFrame, int]:
     host = _host_col(cfg.key) if cfg.host_from_key else F.col(cfg.key)
     with_host = df.withColumn("_host", host)
 
-    counts = with_host.groupBy("_host").count()
+    # hot-host detection on a sample: at 100 TB a full per-host count is an
+    # extra full scan; a seeded sample finds every host hot enough to need
+    # salting (hot ⇒ frequent ⇒ sampled), scaled back up by 1/fraction
+    frac = cfg.host_sample_fraction
+    sampled = with_host.sample(fraction=frac, seed=42) if frac < 1.0 else with_host
+    counts = sampled.groupBy("_host").count().withColumn(
+        "count", (F.col("count") / F.lit(frac)).cast("long")
+    )
     hot = counts.filter(F.col("count") > cfg.target_rows).withColumn(
         "_salt_k", F.ceil(F.col("count") / cfg.target_rows).cast("int")
     )

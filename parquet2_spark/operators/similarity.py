@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns.
+
+- brute-force cosine top-k: the exact baseline. Broadcast the (small)
+  query set, JVM-side dot products via zip_with/aggregate, per-query
+  top-k with a window — one shuffle of (queries × rows) scored pairs
+  pre-pruned by nothing (exact), but never a rows×rows join.
+- IVF-style bucketed ANN: deterministic coarse quantizer (seeded
+  projections); candidates only from the query's nearest buckets, exact
+  cosine re-ranking on candidates. At 100 TB the bucket column is what
+  you'd partition/cluster the table by, so a probe touches few files.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _norm_col(vec_col: str):
+    return F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def brute_force_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query. ``queries``: (query_id, embedding)."""
+    d = data.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        _norm_col(vec_col).alias("_nv"),
+    )
+    q = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.col(vec_col).alias("_q"),
+        _norm_col(vec_col).alias("_nq"),
+    )
+    dot = F.aggregate(F.zip_with("_v", "_q", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    scored = d.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        (dot / (F.col("_nv") * F.col("_nq"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .select("query_id", "vec_id", "cosine", F.col("_rank").alias("rank"))
+    )
+
+
+def _coarse_centroids(dim: int, n_buckets: int, seed: int = 777) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_buckets, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_buckets: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """IVF-bucketed approximate top-k: assign every vector to its nearest
+    deterministic centroid; a query scans only its ``n_probe`` nearest
+    buckets. Returns the same schema as brute_force_topk."""
+    dim = data.select(F.size(vec_col).alias("d")).first()["d"]
+    cents = _coarse_centroids(dim, n_buckets)
+
+    @F.pandas_udf("int")
+    def assign(s: pd.Series) -> pd.Series:
+        mat = np.stack(s.to_numpy())
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series((mat @ cents.T).argmax(axis=1).astype(np.int32))
+
+    @F.pandas_udf("array<int>")
+    def probes(s: pd.Series) -> pd.Series:
+        mat = np.stack(s.to_numpy())
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(mat @ cents.T), axis=1)[:, :n_probe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    d = data.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        _norm_col(vec_col).alias("_nv"),
+        assign(F.col(vec_col)).alias("_bucket"),
+    )
+    q = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.col(vec_col).alias("_q"),
+        _norm_col(vec_col).alias("_nq"),
+        F.explode(probes(F.col(vec_col))).alias("_bucket"),
+    )
+    dot = F.aggregate(F.zip_with("_v", "_q", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    scored = d.join(F.broadcast(q), "_bucket").select(
+        "query_id", "vec_id", (dot / (F.col("_nv") * F.col("_nq"))).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .select("query_id", "vec_id", "cosine", F.col("_rank").alias("rank"))
+    )

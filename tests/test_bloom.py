@@ -1,0 +1,36 @@
+"""Split-block bloom filter unit tests (reference src/bloom_filter parity)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from parquet2_spark.plans import bloom
+
+RNG = np.random.default_rng(11)
+
+
+def test_no_false_negatives():
+    keys = RNG.integers(0, 1 << 63, size=5000).astype(np.uint64)
+    bits = bloom.build(keys, fpp=0.01)
+    assert bloom.might_contain(bits, keys).all()
+
+
+def test_false_positive_rate_reasonable():
+    keys = RNG.integers(0, 1 << 62, size=10000).astype(np.uint64)
+    other = RNG.integers(1 << 62, 1 << 63, size=10000).astype(np.uint64)
+    bits = bloom.build(keys, fpp=0.01)
+    fp = bloom.might_contain(bits, other).mean()
+    assert fp < 0.05, fp
+
+
+def test_definitely_absent_is_definite():
+    keys = np.array([1, 2, 3], dtype=np.uint64)
+    bits = bloom.build(keys, n_blocks=4)
+    probe = np.arange(1000, dtype=np.uint64)
+    got = bloom.might_contain(bits, probe)
+    assert got[1] and got[2] and got[3]
+
+
+def test_sizing_monotone():
+    assert bloom.optimal_num_blocks(100) <= bloom.optimal_num_blocks(100_000)
+    assert bloom.optimal_num_blocks(0) == 1
