@@ -117,7 +117,11 @@ def _encode_values(code: int, kind: str, vals: pa.Array, codec: int, fsst_table=
                     + uleb128_encode(len(payload))
                     + payload
                 )
-            return delta.encode(lens) + b"\x01" + fsst.encode(arr[1])
+            # inline table: when this is a selector *sample* (small input)
+            # train on a proportionally small sample — ranking needs the
+            # trend, not the best table
+            cap = fsst.DEFAULT_SAMPLE if len(arr[1]) > fsst.DEFAULT_SAMPLE else 8192
+            return delta.encode(lens) + b"\x01" + fsst.encode(arr[1], sample_cap=cap)
         if codec == CONSTANT:
             first = bytes(arr[1][: arr[0][1]]) if len(arr[0]) > 1 else b""
             return uleb128_encode(len(first)) + first
@@ -204,11 +208,16 @@ class PageMeta:
 
 
 def select_codec(
-    arr: pa.Array, cfg: SelectorConfig = sel.DEFAULT, stats: stats_mod.BatchStats | None = None
+    arr: pa.Array,
+    cfg: SelectorConfig = sel.DEFAULT,
+    stats: stats_mod.BatchStats | None = None,
+    fsst_table=None,
 ) -> int:
     """Stats shortlist + sample-measure pick for one array (used per page
     standalone, or once per chunk — the reference enforces one codec per
-    column chunk, src/write/column_chunk.rs:108-121)."""
+    column chunk, src/write/column_chunk.rs:108-121). A pre-trained
+    ``fsst_table`` makes the FSST candidate measured with the table the
+    chunk would actually use (and skips a redundant training pass)."""
     code = type_code_of(arr.type)
     kind = TYPES[code][2]
     st = stats if stats is not None else stats_mod.compute(arr)
@@ -218,7 +227,10 @@ def select_codec(
     if len(candidates) == 1 or m == 0:
         return candidates[0]
     sample = vals.slice(0, cfg.sample_values) if m > cfg.sample_values else vals
-    sizes = {c: len(_encode_values(code, kind, sample, c)) for c in candidates}
+    sizes = {
+        c: len(_encode_values(code, kind, sample, c, fsst_table=fsst_table))
+        for c in candidates
+    }
     return sel.pick_by_measure(sizes)
 
 
@@ -231,7 +243,8 @@ def encode_page(
 ) -> tuple[bytes, PageMeta]:
     code = type_code_of(arr.type)
     kind = TYPES[code][2]
-    st = stats if stats is not None else stats_mod.compute(arr)
+    # full (hash-heavy) stats only when the selector needs them
+    st = stats if stats is not None else stats_mod.compute(arr, full=codec is None)
     n, nulls = st.n, st.null_count
     vals = arr.drop_null() if nulls else arr
     m = len(vals)
@@ -366,18 +379,11 @@ def encode_chunk(
     if not pages:
         raise ValueError("chunk needs at least one page")
     code = type_code_of(pages[0].type)
-    # one codec per chunk, selected on the first non-empty page — the
-    # reference enforces exactly this (src/write/column_chunk.rs:108-121)
-    chunk_codec = codec
-    if chunk_codec is None:
-        probe = next((p for p in pages if len(p.drop_null())), pages[0])
-        chunk_codec = select_codec(probe, cfg)
-
-    # shared chunk-level FSST symbol table (≙ DictPage: stored once per
-    # chunk) — trained on a sample spanning the first pages
-    aux = b""
+    kind = TYPES[code][2]
+    # train the shared chunk-level FSST symbol table up front (≙ DictPage:
+    # stored once per chunk) so the selector measures the real candidate
     fsst_table = None
-    if chunk_codec == FSST:
+    if codec in (None, FSST) and kind == "binary" and cfg.enable_fsst:
         sample = bytearray()
         for p in pages:
             vals = p.drop_null()
@@ -385,8 +391,21 @@ def encode_chunk(
                 sample += barray.from_arrow(vals)[1][: fsst.DEFAULT_SAMPLE]
             if len(sample) >= fsst.DEFAULT_SAMPLE:
                 break
-        fsst_table = fsst.train(bytes(sample[: fsst.DEFAULT_SAMPLE]))
+        if sample:
+            fsst_table = fsst.train(bytes(sample[: fsst.DEFAULT_SAMPLE]))
+
+    # one codec per chunk, selected on the first non-empty page — the
+    # reference enforces exactly this (src/write/column_chunk.rs:108-121)
+    chunk_codec = codec
+    if chunk_codec is None:
+        probe = next((p for p in pages if len(p.drop_null())), pages[0])
+        chunk_codec = select_codec(probe, cfg, fsst_table=fsst_table)
+
+    aux = b""
+    if chunk_codec == FSST and fsst_table is not None:
         aux = fsst_table.serialize()
+    else:
+        fsst_table = None
 
     blobs: list[bytes] = []
     metas: list[PageMeta] = []
@@ -470,3 +489,50 @@ def iter_chunk_pages(
 def decode_chunk(buf: bytes | memoryview) -> pa.Array:
     arrs = [a for _, a in iter_chunk_pages(buf)]
     return arrs[0] if len(arrs) == 1 else pa.concat_arrays(arrs)
+
+
+def decode_chunk_rows(buf: bytes | memoryview, row_start: int, row_count: int) -> pa.Array:
+    """Decode only rows [row_start, row_start+row_count) of a chunk.
+
+    Reference parity: ``compute_rows``/``select_pages`` +
+    ``SliceFilteredIter`` (src/indexes/intervals.rs:64-138,
+    src/deserialize/utils.rs:98-148): the page offset index selects the
+    pages overlapping the interval, pages outside it are never decoded,
+    and the residual slice is applied per page.
+    """
+    end = row_start + row_count
+    buf = memoryview(buf)
+    spans: list[tuple[int, int]] = []  # (first_row, n_rows) per page
+    # cheap metadata pass: page row counts via the offset index, no decode
+    if bytes(buf[:4]) != CHUNK_MAGIC:
+        raise ValueError("bad chunk magic")
+    aux_len, pos = uleb128_decode(buf, 5)
+    pos += aux_len
+    n_pages, pos = uleb128_decode(buf, pos)
+    _n_rows, pos = uleb128_decode(buf, pos)
+    lens = []
+    for _ in range(n_pages):
+        ln, pos = uleb128_decode(buf, pos)
+        lens.append(ln)
+    fr = 0
+    p = pos
+    for ln in lens:
+        page_n, _ = uleb128_decode(buf, p + 3)
+        spans.append((fr, page_n))
+        fr += page_n
+        p += ln
+
+    def overlap(i: int, first_row: int) -> bool:
+        pfr, pn = spans[i]
+        return pfr < end and pfr + pn > row_start
+
+    out: list[pa.Array] = []
+    for first_row, arr in iter_chunk_pages(buf, page_filter=overlap):
+        if arr is None:
+            continue
+        lo = max(row_start - first_row, 0)
+        hi = min(end - first_row, len(arr))
+        out.append(arr.slice(lo, hi - lo))
+    if not out:
+        raise ValueError(f"row interval [{row_start}, {end}) outside chunk")
+    return out[0] if len(out) == 1 else pa.concat_arrays(out)

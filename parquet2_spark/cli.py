@@ -1,0 +1,113 @@
+"""parquet-tools-style CLI over encoded snapshots.
+
+Reference parity: the crate ships a `parquet-tools` binary with
+meta / rowcount / dump commands (parquet-tools/src/lib/*.rs); this is the
+spark-submit analog over our snapshots, plus the engine's own
+encode / decode / validate entry points (the north star's deliverable
+queries).
+
+Usage (via spark-submit --py-files parquet2_spark.zip):
+    python -m parquet2_spark.cli meta     <snapshot_dir>
+    python -m parquet2_spark.cli rowcount <snapshot_dir>
+    python -m parquet2_spark.cli stats    <snapshot_dir>
+    python -m parquet2_spark.cli dump     <snapshot_dir> [--columns a,b] [--limit N]
+    python -m parquet2_spark.cli encode   <input_parquet> <snapshot_dir> [--target-rows N]
+    python -m parquet2_spark.cli decode   <snapshot_dir> <output_parquet> [--columns a,b]
+    python -m parquet2_spark.cli validate <input_parquet> <snapshot_dir>
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(cores: str = "*"):
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.appName("parquet2-spark-cli")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="parquet2_spark.cli", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("meta", "rowcount", "stats"):
+        sp = sub.add_parser(name)
+        sp.add_argument("snapshot")
+    sp = sub.add_parser("dump")
+    sp.add_argument("snapshot")
+    sp.add_argument("--columns", default=None)
+    sp.add_argument("--limit", type=int, default=20)
+    sp = sub.add_parser("encode")
+    sp.add_argument("input")
+    sp.add_argument("snapshot")
+    sp.add_argument("--target-rows", type=int, default=131_072)
+    sp.add_argument("--page-rows", type=int, default=8_192)
+    sp.add_argument("--no-resume", action="store_true")
+    sp = sub.add_parser("decode")
+    sp.add_argument("snapshot")
+    sp.add_argument("output")
+    sp.add_argument("--columns", default=None)
+    sp = sub.add_parser("validate")
+    sp.add_argument("input")
+    sp.add_argument("snapshot")
+    args = p.parse_args(argv)
+
+    from .operators import decode_job, validate as validate_mod
+
+    if args.cmd == "meta":
+        print(json.dumps(decode_job.lineage(args.snapshot), indent=1))
+        return 0
+    if args.cmd == "rowcount":
+        print(decode_job.lineage(args.snapshot)["rows"])
+        return 0
+
+    spark = _spark()
+    if args.cmd == "stats":
+        decode_job.stats(spark, args.snapshot).show(200, truncate=False)
+        return 0
+    if args.cmd == "dump":
+        cols = args.columns.split(",") if args.columns else None
+        decode_job.decode(spark, args.snapshot, columns=cols).show(args.limit, truncate=60)
+        return 0
+    if args.cmd == "encode":
+        from .operators.encode_job import EncodeConfig, encode
+
+        df = spark.read.parquet(args.input)
+        lin = encode(
+            spark,
+            df,
+            args.snapshot,
+            EncodeConfig(target_rows=args.target_rows, page_rows=args.page_rows),
+            resume=not args.no_resume,
+        )
+        print(
+            json.dumps(
+                {k: lin[k] for k in ("rows", "raw_bytes", "enc_bytes", "wall_s", "n_partitions_committed")}
+            )
+        )
+        return 0
+    if args.cmd == "decode":
+        cols = args.columns.split(",") if args.columns else None
+        decode_job.decode(spark, args.snapshot, columns=cols).write.mode("overwrite").parquet(
+            args.output
+        )
+        print(f"wrote {args.output}")
+        return 0
+    if args.cmd == "validate":
+        src = spark.read.parquet(args.input)
+        rep = validate_mod.validate(spark, src, args.snapshot)
+        print(json.dumps(rep))
+        return 0 if rep["bit_identical"] else 1
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

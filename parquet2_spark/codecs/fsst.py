@@ -85,29 +85,74 @@ def _tokenize(data: bytes, table: SymbolTable) -> list[bytes]:
     return out
 
 
+def _token_entries(codes: np.ndarray, n_symbols: int) -> np.ndarray:
+    """Token stream from an encoded payload: entry < n_symbols is a symbol
+    code, entry >= 256 is literal byte (entry - 256). Escape resolution by
+    run-parity on 0xFF runs (same logic as decode_with_table)."""
+    n = len(codes)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    ff = np.flatnonzero(codes == ESCAPE)
+    is_literal = np.zeros(n, dtype=bool)
+    if len(ff):
+        run_start = np.concatenate(([0], np.flatnonzero(np.diff(ff) > 1) + 1))
+        run_start_pos = np.repeat(ff[run_start], np.diff(np.concatenate((run_start, [len(ff)]))))
+        esc_pos = ff[(ff - run_start_pos) % 2 == 0]
+        esc_pos = esc_pos[esc_pos + 1 < n]
+        is_literal[esc_pos + 1] = True
+        is_code = ~is_literal
+        is_code[esc_pos] = False
+    else:
+        is_code = ~is_literal
+    token_pos = np.flatnonzero(is_code | is_literal)
+    entries = codes[token_pos].astype(np.int64)
+    return np.where(is_literal[token_pos], entries + 256, entries)
+
+
 def train(sample: bytes, generations: int = GENERATIONS) -> SymbolTable:
     """Build a symbol table on a sample (paper §3.3 bottom-up style:
     iterate tokenize → count symbols & adjacent-pair concatenations →
-    keep top candidates by gain = count * length)."""
-    sample = sample[: DEFAULT_SAMPLE * 4]
+    keep top candidates by gain). Counting is vectorized: the sample is
+    encoded with the current table (C/numpy greedy), unique tokens and
+    unique adjacent pairs come from np.unique over the code stream, so
+    Python only ever loops over *distinct* candidates."""
+    sample = sample[:DEFAULT_SAMPLE]
     table = SymbolTable([])
     if not sample:
         return table
     for _ in range(generations):
-        tokens = _tokenize(sample, table)
-        counts: Counter[bytes] = Counter(tokens)
-        for a, b in zip(tokens, tokens[1:]):
-            cat = a + b
-            if len(cat) <= MAX_SYMBOL_LEN:
-                counts[cat] += 1
+        payload = encode_with_table(sample, table)
+        codes = np.frombuffer(payload, dtype=np.uint8)
+        entries = _token_entries(codes, len(table.symbols))
+        lit_bytes = [bytes([b]) for b in range(256)]
+
+        def entry_bytes(e: int) -> bytes:
+            return table.symbols[e] if e < 256 else lit_bytes[e - 256]
+
+        counts: Counter[bytes] = Counter()
+        uniq, cnt = np.unique(entries, return_counts=True)
+        for e, c in zip(uniq.tolist(), cnt.tolist()):
+            counts[entry_bytes(e)] += c
+        if len(entries) > 1:
+            pair_keys = entries[:-1] * 1024 + entries[1:]
+            pu, pc_ = np.unique(pair_keys, return_counts=True)
+            # rare pairs can never earn a code slot — drop them before the
+            # python loop (diverse text has 10k+ singleton pairs)
+            keep = pc_ >= 4
+            for pk, c in zip(pu[keep].tolist(), pc_[keep].tolist()):
+                cat = entry_bytes(pk // 1024) + entry_bytes(pk % 1024)
+                if len(cat) <= MAX_SYMBOL_LEN:
+                    counts[cat] += c
         # gain: bytes saved per occurrence (multi-byte symbol: len-1;
         # single byte: avoids the escape byte: 1)
-        scored = sorted(
+        import heapq
+
+        scored = heapq.nlargest(
+            MAX_SYMBOLS,
             counts.items(),
             key=lambda kv: (kv[1] * (len(kv[0]) - 1) if len(kv[0]) > 1 else kv[1], kv[0]),
-            reverse=True,
         )
-        table = SymbolTable([s for s, _ in scored[:MAX_SYMBOLS]])
+        table = SymbolTable([s for s, _ in scored])
     return table
 
 
@@ -282,9 +327,9 @@ def decode_with_table(payload: bytes | memoryview, table: SymbolTable) -> bytes:
     return blob[take].tobytes()
 
 
-def encode(data: bytes, sample: bytes | None = None) -> bytes:
+def encode(data: bytes, sample: bytes | None = None, sample_cap: int = DEFAULT_SAMPLE) -> bytes:
     """Self-contained blob: symbol table + decoded size + escaped payload."""
-    table = train(sample if sample is not None else data[:DEFAULT_SAMPLE])
+    table = train(sample if sample is not None else data[:sample_cap])
     payload = encode_with_table(data, table)
     return (
         table.serialize()

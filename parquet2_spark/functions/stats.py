@@ -34,7 +34,11 @@ class BatchStats:
         return self.n - self.null_count
 
 
-def compute(arr: pa.Array) -> BatchStats:
+def compute(arr: pa.Array, full: bool = True) -> BatchStats:
+    """Per-batch stats. ``full=False`` skips the hash-heavy passes (ndv,
+    run count, sortedness) and keeps only what chunk metadata needs
+    (n/nulls/min/max/bytes) — pages beyond the selector's probe page use
+    the light path to stay memory-bandwidth-friendly."""
     n = len(arr)
     null_count = arr.null_count
     st = BatchStats(n=n, null_count=null_count)
@@ -43,7 +47,8 @@ def compute(arr: pa.Array) -> BatchStats:
     if m == 0:
         return st
 
-    st.ndv = len(pc.unique(vals))
+    if full:
+        st.ndv = len(pc.unique(vals))
     mm = pc.min_max(vals)
     st.min, st.max = mm["min"].as_py(), mm["max"].as_py()
 
@@ -51,22 +56,23 @@ def compute(arr: pa.Array) -> BatchStats:
         st.raw_bytes = int(pc.sum(pc.binary_length(vals)).as_py() or 0)
         if isinstance(st.min, str):
             st.min, st.max = st.min.encode(), st.max.encode()
-        # run/sortedness over dictionary codes (cheap, order-preserving not
-        # needed for run counting)
-        codes = vals.dictionary_encode().indices.to_numpy(zero_copy_only=False)
-        changes = int((codes[1:] != codes[:-1]).sum()) if m > 1 else 0
-        st.run_count = changes + 1
+        if full:
+            # run/sortedness over dictionary codes (order not needed for
+            # run counting)
+            codes = vals.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+            changes = int((codes[1:] != codes[:-1]).sum()) if m > 1 else 0
+            st.run_count = changes + 1
         st.sorted_frac = 1.0  # byte-order sortedness not tracked for binary
     elif pa.types.is_boolean(vals.type):
         st.raw_bytes = m
         v = vals.to_numpy(zero_copy_only=False)
         st.run_count = int((v[1:] != v[:-1]).sum()) + 1 if m > 1 else 1
     else:
-        v = vals.to_numpy(zero_copy_only=False)
-        if np.issubdtype(v.dtype, np.datetime64):
-            v = v.astype("datetime64[us]").astype(np.int64)
-        st.raw_bytes = v.nbytes
-        if m > 1:
+        st.raw_bytes = m * (arr.type.bit_width // 8 if arr.type.bit_width >= 8 else 1)
+        if full and m > 1:
+            v = vals.to_numpy(zero_copy_only=False)
+            if np.issubdtype(v.dtype, np.datetime64):
+                v = v.astype("datetime64[us]").astype(np.int64)
             st.run_count = int((v[1:] != v[:-1]).sum()) + 1
             st.sorted_frac = float((v[1:] >= v[:-1]).mean())
         else:

@@ -144,19 +144,27 @@ def decode(
     )
 
     out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[schema_map[c]]}" for c in need)
+    session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
 
-    def rebuild(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def rebuild(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         arrays = {}
-        for _, row in pdf.iterrows():
-            arr = blob.decode_chunk(row["payload"])
-            arrays[row["column"]] = arr
+        names = tbl.column("column").to_pylist()
+        payloads = tbl.column("payload").to_pylist()
+        for name, payload in zip(names, payloads):
+            arrays[name] = blob.decode_chunk(payload)
         n = len(next(iter(arrays.values()))) if arrays else 0
-        cols_pd = {}
+        cols = []
         for c in need:
             a = arrays[c]
             if len(a) != n:
                 raise ValueError(f"column {c} row mismatch {len(a)} != {n}")
-            cols_pd[c] = a.to_pandas()
-        return pd.DataFrame(cols_pd)
+            if pa.types.is_timestamp(a.type) and a.type.tz is None:
+                # blob stores UTC-epoch micros; Spark's Arrow schema wants
+                # tz-aware — assume_timezone is value-preserving
+                a = pc.assume_timezone(a, "UTC").cast(pa.timestamp("us", tz=session_tz))
+            cols.append(a)
+        return pa.table(dict(zip(need, cols)))
 
-    return df.groupBy("part_id").applyInPandas(rebuild, out_schema)
+    return df.groupBy("part_id").applyInArrow(rebuild, out_schema)

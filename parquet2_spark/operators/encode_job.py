@@ -52,6 +52,27 @@ CHUNK_SCHEMA = (
     "page_rows string, wall_s double"
 )
 
+METRICS_PA_SCHEMA = pa.schema(
+    [
+        ("part_id", pa.int64()),
+        ("column", pa.string()),
+        ("type_code", pa.int32()),
+        ("n_rows", pa.int64()),
+        ("null_count", pa.int64()),
+        ("n_pages", pa.int32()),
+        ("codecs", pa.string()),
+        ("outers", pa.string()),
+        ("raw_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("min_bin", pa.binary()),
+        ("max_bin", pa.binary()),
+        ("min_num", pa.int64()),
+        ("max_num", pa.int64()),
+        ("page_rows", pa.string()),
+        ("wall_s", pa.float64()),
+    ]
+)
+
 CHUNK_PA_SCHEMA = pa.schema(
     [
         ("part_id", pa.int64()),
@@ -171,20 +192,27 @@ _SPARK_TO_PA = {
 }
 
 
-def _encode_partition_pandas(
-    pdf: pd.DataFrame,
+def _encode_partition_arrow(
+    in_table: pa.Table,
     cfg: EncodeConfig,
     snapshot_dir: str,
     columns: list[str],
     dtypes: dict[str, str],
-) -> pd.DataFrame:
+) -> pa.Table:
+    """Pure-Arrow partition encoder: no pandas objects are ever
+    materialized (the pandas round-trip costs allocation storms that
+    throttle concurrent workers)."""
+    import pyarrow.compute as pc
+
     t0 = time.time()
-    part_id = int(pdf["_part_id"].iloc[0])
-    if cfg.sort_by and cfg.sort_by in pdf.columns:
-        pdf = pdf.sort_values(cfg.sort_by, kind="mergesort", ignore_index=True)
-    # explicit schema: an all-null object column must keep its Spark type
+    c0 = time.process_time()
+    part_id = int(in_table.column("_part_id")[0].as_py())
+    if cfg.sort_by and cfg.sort_by in in_table.schema.names:
+        order = pc.sort_indices(in_table, sort_keys=[(cfg.sort_by, "ascending")])
+        in_table = in_table.take(order)
+    # keep original column order/types; _part_id and helpers drop out here
     schema = pa.schema([(c, _SPARK_TO_PA[dtypes[c]]) for c in columns])
-    table = pa.Table.from_pandas(pdf[columns], schema=schema, preserve_index=False)
+    table = in_table.select(columns).cast(schema)
 
     rows = []
     n = table.num_rows
@@ -239,6 +267,7 @@ def _encode_partition_pandas(
         "file": os.path.basename(final),
         "rows": int(n),
         "wall_s": wall,
+        "cpu_s": time.process_time() - c0,
         "chunks": [
             {k: _jsafe(v) for k, v in r.items() if k != "payload"} for r in rows
         ],
@@ -248,11 +277,11 @@ def _encode_partition_pandas(
         json.dump(marker, f)
     os.replace(mtmp, os.path.join(commits_dir, f"{part_id}.json"))
 
-    metrics = pd.DataFrame(
-        [{k: v for k, v in r.items() if k not in ("payload", "page_mins", "page_maxs")} for r in rows]
-    )
-    metrics["wall_s"] = wall
-    return metrics
+    metric_rows = [
+        {**{k: v for k, v in r.items() if k not in ("payload", "page_mins", "page_maxs")}, "wall_s": wall}
+        for r in rows
+    ]
+    return pa.Table.from_pylist(metric_rows, schema=METRICS_PA_SCHEMA)
 
 
 def _jsafe(v):
@@ -296,10 +325,10 @@ def encode(
     if already:
         planned = planned.filter(~F.col("_part_id").isin([int(p) for p in already]))
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        return _encode_partition_pandas(pdf, cfg, snapshot_dir, columns, dtypes)
+    def run(tbl: pa.Table) -> pa.Table:
+        return _encode_partition_arrow(tbl, cfg, snapshot_dir, columns, dtypes)
 
-    metrics_df = planned.groupBy("_part_id").applyInPandas(run, CHUNK_SCHEMA)
+    metrics_df = planned.groupBy("_part_id").applyInArrow(run, CHUNK_SCHEMA)
     # the action that executes the job; metrics come back small
     metrics = metrics_df.toPandas()
 
