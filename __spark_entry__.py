@@ -141,6 +141,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
+    def rt_bool_flags(spark, sf_dir):
+        from parquet2_spark.functions.selector import BITMAP
+        from parquet2_spark.operators.roundtrip import roundtrip
+
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_returnflag") == "R").alias("is_r"),
+        )
+        return roundtrip(li, {"is_r": BITMAP})
+
+    def ngram_jaccard_dups(spark, sf_dir):
+        """Exact word-bigram jaccard on an engineered duplicate set: each
+        doc is paired with a copy of itself (jaccard must be exactly 1.0)
+        — oracle-checkable exercise of the n-gram verify operator."""
+        from parquet2_spark.operators.dedup import ngram_jaccard
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+            F.col("doc_id") < 50
+        )
+        shifted = docs.select(
+            (F.col("doc_id") + 1000).alias("doc_id"), F.col("text")
+        )
+        both = docs.unionByName(shifted)
+        pairs = docs.select(
+            F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1000).alias("id_b")
+        )
+        out = ngram_jaccard(both, pairs, n=2)
+        return out.select(
+            "id_a", "id_b", F.floor(F.col("jaccard") * 1e6).cast("long").alias("jaccard_r6")
+        )
+
+    def minhash_exact_dup_agreement(spark, sf_dir):
+        """MinHash signatures of byte-identical texts must be identical:
+        join each doc against a duplicated copy, count signature
+        mismatches (must be 0 per doc) — SQL-expressible invariant."""
+        from parquet2_spark.operators.dedup import minhash_signatures
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        dup = docs.select((F.col("doc_id") + 5000).alias("doc_id"), "text")
+        sigs = minhash_signatures(docs.unionByName(dup))
+        a = sigs.filter(F.col("doc_id") < 5000).select(
+            F.col("doc_id").alias("k"), F.col("signature").alias("sig_a")
+        )
+        b = sigs.filter(F.col("doc_id") >= 5000).select(
+            (F.col("doc_id") - 5000).alias("k"), F.col("signature").alias("sig_b")
+        )
+        j = a.join(b, "k")
+        mism = F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x != y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        return j.select(F.col("k").alias("doc_id"), mism.alias("sig_mismatches"))
+
     def dedup_simhash_sigs(spark, sf_dir):
         from parquet2_spark.operators.dedup import simhash_signatures
 
@@ -208,9 +263,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["event_id", "ts", "user_id", "event_type", "value", "props"],
             {c: PLAIN for c in ["event_id", "ts", "user_id", "event_type", "value", "props"]},
         ),
+        "rt_bool_flags": rt_bool_flags,
         # stats / pruning / bloom (SURVEY §2.D/§2.E parity)
         "chunk_stats_shipdate": chunk_stats_shipdate,
         "bloom_probe_docs": bloom_probe_docs,
+        "ngram_jaccard_dups": ngram_jaccard_dups,
+        "minhash_exact_dup_agreement": minhash_exact_dup_agreement,
         # training-data pipeline operators
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -294,6 +352,16 @@ SELECT query_id, vec_id, CAST(rank AS INT) AS rank FROM scored WHERE rank <= 5
             "FROM lineitem GROUP BY l_orderkey % 8"
         ),
         "bloom_probe_docs": "SELECT doc_id, TRUE AS might_contain FROM documents",
+        "rt_bool_flags": (
+            "SELECT l_orderkey, l_linenumber, l_returnflag = 'R' AS is_r FROM lineitem"
+        ),
+        "ngram_jaccard_dups": (
+            "SELECT doc_id AS id_a, doc_id + 1000 AS id_b, CAST(1000000 AS BIGINT) AS jaccard_r6 "
+            "FROM documents WHERE doc_id < 50"
+        ),
+        "minhash_exact_dup_agreement": (
+            "SELECT doc_id, CAST(0 AS INT) AS sig_mismatches FROM documents"
+        ),
         "dedup_exact_docs": (
             "SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups "
             "FROM documents GROUP BY text"

@@ -23,6 +23,20 @@ from pyspark.sql import functions as F
 
 from .. import blob
 
+_PA_TYPE = {
+    "string": "string",
+    "binary": "binary",
+    "timestamp": "timestamp[us]",
+    "bigint": "int64",
+    "int": "int32",
+    "double": "float64",
+    "float": "float32",
+    "boolean": "bool",
+    "date": "date32[day]",
+    "smallint": "int16",
+    "tinyint": "int8",
+}
+
 _SPARK_TYPE = {
     "string": "string",
     "binary": "binary",
@@ -145,15 +159,54 @@ def decode(
 
     out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[schema_map[c]]}" for c in need)
     session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
+    kr = key_range
 
     def rebuild(tbl: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        arrays = {}
         names = tbl.column("column").to_pylist()
         payloads = tbl.column("payload").to_pylist()
+
+        # page-level zone maps: inside surviving chunks, skip whole pages
+        # whose [min,max] misses the key range (pages are row-aligned
+        # across a partition's columns, so the same subset keeps columns
+        # consistent) — the IndexedPageReader/select_pages analog.
+        page_keep = None
+        if kr is not None:
+            kcol, lo, hi = kr
+            idx = names.index(kcol)
+            mins = json.loads(tbl.column("page_mins")[idx].as_py())
+            maxs = json.loads(tbl.column("page_maxs")[idx].as_py())
+            as_str = isinstance(lo, str) or isinstance(hi, str)
+            page_keep = set()
+            for i, (mn, mx) in enumerate(zip(mins, maxs)):
+                if mn is None or mx is None:
+                    page_keep.add(i)  # no stats → cannot prune
+                    continue
+                if as_str:
+                    mn, mx = str(mn), str(mx)
+                if (hi is None or mn <= hi) and (lo is None or mx >= lo):
+                    page_keep.add(i)
+
+        arrays = {}
         for name, payload in zip(names, payloads):
-            arrays[name] = blob.decode_chunk(payload)
+            if page_keep is None:
+                arrays[name] = blob.decode_chunk(payload)
+            else:
+                parts = [
+                    a
+                    for _, a in blob.iter_chunk_pages(
+                        payload, page_filter=lambda i, fr: i in page_keep
+                    )
+                    if a is not None
+                ]
+                if not parts:
+                    arrays[name] = None
+                else:
+                    arrays[name] = parts[0] if len(parts) == 1 else pa.concat_arrays(parts)
+        if any(a is None for a in arrays.values()):
+            # all pages pruned → typed 0-row table
+            arrays = {c: pa.array([], type=pa.type_for_alias(_PA_TYPE[schema_map[c]])) for c in need}
         n = len(next(iter(arrays.values()))) if arrays else 0
         cols = []
         for c in need:
@@ -167,4 +220,6 @@ def decode(
             cols.append(a)
         return pa.table(dict(zip(need, cols)))
 
-    return df.groupBy("part_id").applyInArrow(rebuild, out_schema)
+    out = df.groupBy("part_id").applyInArrow(rebuild, out_schema)
+    # the key column rides along for pruning; drop it unless requested
+    return out.select(*cols)

@@ -240,8 +240,8 @@ def _encode_partition_arrow(
                 "min_num": min_num,
                 "max_num": max_num,
                 "page_rows": json.dumps(meta.page_rows),
-                "page_mins": json.dumps([_jsafe(v) for v in meta.page_mins]),
-                "page_maxs": json.dumps([_jsafe(v) for v in meta.page_maxs]),
+                "page_mins": json.dumps([_jstat(v) for v in meta.page_mins]),
+                "page_maxs": json.dumps([_jstat(v) for v in meta.page_maxs]),
                 "payload": payload,
             }
         )
@@ -282,6 +282,23 @@ def _encode_partition_arrow(
         for r in rows
     ]
     return pa.Table.from_pylist(metric_rows, schema=METRICS_PA_SCHEMA)
+
+
+def _jstat(v):
+    """Page zone-map value → json: timestamps as int micros (comparable to
+    numeric key ranges), bytes as utf-8 text, numbers as-is."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return int((v - epoch).total_seconds() * 1_000_000)
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days
+    if isinstance(v, (bytes, bytearray)):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    return v
 
 
 def _jsafe(v):
