@@ -133,6 +133,18 @@ def main() -> None:
     extra["encode"] = {k: enc[k] for k in ("raw_bytes", "enc_bytes", "rows", "gbps")}
     extra["encode"]["ratio"] = enc["enc_bytes"] / max(enc["raw_bytes"], 1)
 
+    # size vs the pyarrow reference writer (dict+snappy — the oracle config)
+    ref_path = os.path.join(WORK, f"pyarrow_ref_{WEB_ROWS}.parquet")
+    if not os.path.exists(ref_path):
+        import pyarrow.dataset as ds
+        import pyarrow.parquet as pq
+
+        tbl = ds.dataset(web_path, format="parquet").to_table()
+        pq.write_table(tbl, ref_path, compression="snappy", use_dictionary=True)
+    extra["encode"]["pyarrow_ref_bytes"] = os.path.getsize(ref_path)
+    extra["encode"]["ratio_vs_pyarrow"] = enc["enc_bytes"] / os.path.getsize(ref_path)
+    extra["encode"]["beats_pyarrow"] = enc["enc_bytes"] <= os.path.getsize(ref_path)
+
     from parquet2_spark.operators import decode_job, validate
 
     t0 = time.time()

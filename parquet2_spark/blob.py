@@ -227,10 +227,16 @@ def select_codec(
     if len(candidates) == 1 or m == 0:
         return candidates[0]
     sample = vals.slice(0, cfg.sample_values) if m > cfg.sample_values else vals
-    sizes = {
-        c: len(_encode_values(code, kind, sample, c, fsst_table=fsst_table))
-        for c in candidates
-    }
+    # measure candidates AFTER the outer block codec: "fsst < plain" before
+    # zstd does not imply "fsst+zstd < plain+zstd" (SURVEY §7 risk note)
+    sizes = {}
+    for c in candidates:
+        enc = _encode_values(code, kind, sample, c, fsst_table=fsst_table)
+        if cfg.outer and len(enc) >= cfg.outer_min_bytes:
+            z = block.compress(enc, cfg.outer, cfg.outer_level)
+            sizes[c] = min(len(enc), len(z))
+        else:
+            sizes[c] = len(enc)
     return sel.pick_by_measure(sizes)
 
 

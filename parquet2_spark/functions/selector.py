@@ -42,10 +42,13 @@ class SelectorConfig:
     sample_values: int = 1024  # values measured per candidate
     dict_ratio: float = 0.5  # ndv/nonnull below this → dict candidate
     run_ratio: float = 0.125  # runs/nonnull below this → rle candidate
-    sorted_min: float = 0.90  # sortedness above this → delta candidate
+    # sortedness above this → delta candidate. Generous on purpose: delta
+    # tolerates local jitter (zigzag min_delta), and the sample measurement
+    # rejects it when it actually loses.
+    sorted_min: float = 0.60
     fsst_min_avg_len: float = 6.0  # avg string bytes above this → fsst candidate
     outer: str | None = "zstd"  # outer block codec to try
-    outer_level: int | None = None
+    outer_level: int | None = 3  # zstd-3: ~160+ MB/s and close to zstd-6 ratio
     outer_min_gain: float = 0.9  # keep outer only if ≤ 90% of encoded size
     outer_min_bytes: int = 128  # don't bother below this payload size
     enable_fsst: bool = True
