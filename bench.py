@@ -198,10 +198,7 @@ def main() -> None:
         s0.stop()
         def best_of(cores: int, reps: int = 2) -> dict:
             # the sandbox VM is noisy (2× swings minutes apart): best-of-N
-            # per core count is the standard defense; single-core legs run
-            # once (long wall ⇒ noise already averages out)
-            if cores == 1:
-                reps = 1
+            # per core count is the standard defense
             best = None
             s = session(cores)
             s.sparkContext.setLogLevel("ERROR")

@@ -386,10 +386,21 @@ def encode_chunk(
         raise ValueError("chunk needs at least one page")
     code = type_code_of(pages[0].type)
     kind = TYPES[code][2]
+    probe = next((p for p in pages if len(p.drop_null())), pages[0])
+    probe_stats = stats_mod.compute(probe) if codec is None else None
+
     # train the shared chunk-level FSST symbol table up front (≙ DictPage:
-    # stored once per chunk) so the selector measures the real candidate
+    # stored once per chunk) so the selector measures the real candidate —
+    # but only when FSST is actually in the running for this column
     fsst_table = None
-    if codec in (None, FSST) and kind == "binary" and cfg.enable_fsst:
+    fsst_possible = codec == FSST or (
+        codec is None
+        and kind == "binary"
+        and cfg.enable_fsst
+        and probe_stats is not None
+        and FSST in sel.shortlist(probe_stats, kind, code in _FLOAT_CODES, cfg)
+    )
+    if fsst_possible:
         sample = bytearray()
         for p in pages:
             vals = p.drop_null()
@@ -404,8 +415,7 @@ def encode_chunk(
     # reference enforces exactly this (src/write/column_chunk.rs:108-121)
     chunk_codec = codec
     if chunk_codec is None:
-        probe = next((p for p in pages if len(p.drop_null())), pages[0])
-        chunk_codec = select_codec(probe, cfg, fsst_table=fsst_table)
+        chunk_codec = select_codec(probe, cfg, stats=probe_stats, fsst_table=fsst_table)
 
     aux = b""
     if chunk_codec == FSST and fsst_table is not None:

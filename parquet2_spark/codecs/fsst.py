@@ -33,7 +33,7 @@ ESCAPE = 255
 MAX_SYMBOLS = 255
 MAX_SYMBOL_LEN = 8
 GENERATIONS = 4
-DEFAULT_SAMPLE = 1 << 16
+DEFAULT_SAMPLE = 1 << 15  # 32 KiB: same ratio as 64 KiB at half the training cost
 
 
 class SymbolTable:

@@ -1,0 +1,49 @@
+"""Recommended Spark configuration for running the engine at scale.
+
+The engine itself needs nothing exotic — these are the settings a
+1000-executor / 100 TB deployment should start from, with the reasoning
+kept next to each knob. ``apply(builder)`` folds them into a
+SparkSession builder; anything the operator already set wins.
+"""
+
+from __future__ import annotations
+
+RECOMMENDED: dict[str, str] = {
+    # AQE re-plans at runtime: coalesces small shuffle partitions and
+    # splits skewed ones — our salting bounds skew at write time, AQE
+    # catches what sampling missed.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow everywhere; batch size is the page size feeding encode UDFs.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "8192",
+    # Python workers are reused across tasks — imports and the C codec
+    # .so load are paid once per executor core.
+    "spark.python.worker.reuse": "true",
+    # one scan task ≈ one comfortable in-memory page run; chunks-table
+    # payload rows are MB-scale, so the default 128 MB is right.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # shuffle partitions: set ≈ 2-4× total cores at submit time; at
+    # 100 TB the encode shuffle moves the whole dataset once — AQE
+    # coalescing handles the long tail.
+    # "spark.sql.shuffle.partitions": "<2-4x total cores>",
+    # keep large numpy temporaries on the worker heap (page-fault storms
+    # under concurrency otherwise; see BASELINE.md methodology).
+    "spark.executorEnv.MALLOC_MMAP_THRESHOLD_": "1073741824",
+    "spark.executorEnv.MALLOC_TRIM_THRESHOLD_": "268435456",
+}
+
+
+def apply(builder):
+    for k, v in RECOMMENDED.items():
+        builder = builder.config(k, v)
+    return builder
+
+
+def session(app_name: str = "parquet2-spark", master: str | None = None):
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+    return apply(b).getOrCreate()
