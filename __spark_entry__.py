@@ -223,6 +223,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf_dir, "documents").select("doc_id", "text")
         ).select("doc_id", "fingerprint")
 
+    def page_index_rows(spark, sf_dir):
+        """Row-interval read through the page offset index (reference
+        compute_rows/select_pages/SliceFilteredIter, SURVEY §2.D): encode
+        documents as ONE chunk sorted by doc_id, decode only rows
+        [100, 300) — pages outside the interval are never decoded."""
+        import tempfile as _tf
+
+        from parquet2_spark import blob
+        from parquet2_spark.operators import decode_job
+        from parquet2_spark.operators.encode_job import EncodeConfig, encode
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        snap = _tf.mkdtemp(prefix="p2s_pir_")
+        encode(
+            spark,
+            docs,
+            snap,
+            EncodeConfig(
+                target_rows=1 << 30, page_rows=64, sort_by="doc_id",
+                key="doc_id", host_from_key=False, num_partitions=1,
+            ),
+        )
+        chunks = decode_job.chunks_df(spark, snap).select("column", "payload").collect()
+        import pyarrow as pa
+
+        cols = {}
+        for row in chunks:
+            cols[row["column"]] = blob.decode_chunk_rows(row["payload"], 100, 200)
+        tbl = pa.table({c: cols[c] for c in ["doc_id", "lang", "n_chars"]})
+        return spark.createDataFrame(tbl.to_pandas())
+
     def encode_webpages_lineage(spark, sf_dir):
         """North-star input table end-to-end: generate the web-page table,
         run the encode job, surface per-column lineage as rows."""
@@ -269,6 +300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_probe_docs": bloom_probe_docs,
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "minhash_exact_dup_agreement": minhash_exact_dup_agreement,
+        "page_index_rows": page_index_rows,
         # training-data pipeline operators
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -361,6 +393,10 @@ SELECT query_id, vec_id, CAST(rank AS INT) AS rank FROM scored WHERE rank <= 5
         ),
         "minhash_exact_dup_agreement": (
             "SELECT doc_id, CAST(0 AS INT) AS sig_mismatches FROM documents"
+        ),
+        "page_index_rows": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE doc_id >= 100 AND doc_id < 300"
         ),
         "dedup_exact_docs": (
             "SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups "

@@ -400,8 +400,8 @@ def encode_chunk(
         and probe_stats is not None
         and FSST in sel.shortlist(probe_stats, kind, code in _FLOAT_CODES, cfg)
     )
+    sample = bytearray()
     if fsst_possible:
-        sample = bytearray()
         for p in pages:
             vals = p.drop_null()
             if len(vals):
@@ -409,7 +409,9 @@ def encode_chunk(
             if len(sample) >= fsst.DEFAULT_SAMPLE:
                 break
         if sample:
-            fsst_table = fsst.train(bytes(sample[: fsst.DEFAULT_SAMPLE]))
+            # cheap probe table for *selection* only (small sample, fewer
+            # generations) — the real table is trained only if FSST wins
+            fsst_table = fsst.train(bytes(sample[:8192]), generations=3)
 
     # one codec per chunk, selected on the first non-empty page — the
     # reference enforces exactly this (src/write/column_chunk.rs:108-121)
@@ -418,7 +420,8 @@ def encode_chunk(
         chunk_codec = select_codec(probe, cfg, stats=probe_stats, fsst_table=fsst_table)
 
     aux = b""
-    if chunk_codec == FSST and fsst_table is not None:
+    if chunk_codec == FSST and sample:
+        fsst_table = fsst.train(bytes(sample[: fsst.DEFAULT_SAMPLE]))
         aux = fsst_table.serialize()
     else:
         fsst_table = None
@@ -502,9 +505,23 @@ def iter_chunk_pages(
         first_row += page_n
 
 
+def concat_pages(arrs: list[pa.Array]) -> pa.Array:
+    """Concat page arrays; huge pages may decode as large_binary/string
+    while small ones stay 32-bit — normalize before concat."""
+    if len(arrs) == 1:
+        return arrs[0]
+    types = {a.type for a in arrs}
+    if len(types) > 1:
+        if pa.large_binary() in types or pa.binary() in types:
+            arrs = [a.cast(pa.large_binary()) for a in arrs]
+        elif pa.large_string() in types or pa.string() in types:
+            arrs = [a.cast(pa.large_string()) for a in arrs]
+    return pa.concat_arrays(arrs)
+
+
 def decode_chunk(buf: bytes | memoryview) -> pa.Array:
     arrs = [a for _, a in iter_chunk_pages(buf)]
-    return arrs[0] if len(arrs) == 1 else pa.concat_arrays(arrs)
+    return concat_pages(arrs)
 
 
 def decode_chunk_rows(buf: bytes | memoryview, row_start: int, row_count: int) -> pa.Array:

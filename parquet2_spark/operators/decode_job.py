@@ -203,7 +203,7 @@ def decode(
                 if not parts:
                     arrays[name] = None
                 else:
-                    arrays[name] = parts[0] if len(parts) == 1 else pa.concat_arrays(parts)
+                    arrays[name] = blob.concat_pages(parts)
         if any(a is None for a in arrays.values()):
             # all pages pruned → typed 0-row table
             arrays = {c: pa.array([], type=pa.type_for_alias(_PA_TYPE[schema_map[c]])) for c in need}
