@@ -120,3 +120,26 @@ int64_t fsst_decode(const uint8_t *enc, int64_t n, const uint8_t *symbol_bytes,
     }
     return o;
 }
+
+/* Front-coding (DELTA_BYTE_ARRAY) reconstruction: value i = first
+ * prefix_lens[i] bytes of value i-1 + its suffix. Sequential by nature —
+ * exactly why it lives in C. Returns total bytes written or -1. */
+int64_t front_decode(const int64_t *prefix_lens, const int64_t *suffix_lens,
+                     int64_t n, const uint8_t *suffixes, int64_t suffixes_len,
+                     uint8_t *out, int64_t out_cap) {
+    int64_t spos = 0, opos = 0, prev = 0, prev_len = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t p = prefix_lens[i], s = suffix_lens[i];
+        if (p < 0 || s < 0 || spos + s > suffixes_len || opos + p + s > out_cap)
+            return -1;
+        if (p > prev_len) return -1; /* corrupt stream: prefix longer than prev */
+        prev_len = p + s;
+        /* prefix comes from the previous *reconstructed* value */
+        memmove(out + opos, out + prev, (size_t)p);
+        memcpy(out + opos + p, suffixes + spos, (size_t)s);
+        prev = opos;
+        opos += p + s;
+        spos += s;
+    }
+    return opos;
+}

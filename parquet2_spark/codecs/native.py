@@ -58,6 +58,16 @@ def _build() -> "ctypes.CDLL | None":
     lib.fsst_build.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
     lib.fsst_encode.restype = ctypes.c_int64
     lib.fsst_encode.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+    lib.front_decode.restype = ctypes.c_int64
+    lib.front_decode.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.c_void_p,
+        ctypes.c_int64,
+    ]
     lib.fsst_decode.restype = ctypes.c_int64
     lib.fsst_decode.argtypes = [
         ctypes.c_void_p,
@@ -114,5 +124,22 @@ def fsst_decode(enc: bytes, symbols: list[bytes], out_size: int) -> bytes | None
         out_size,
     )
     if n < 0 or n != out_size:
+        return None
+    return out[:n].tobytes()
+
+
+def front_decode(prefix_lens, suffix_lens, suffixes: bytes, out_size: int):
+    """C front-coding reconstruction; None if unavailable or corrupt."""
+    lib = get()
+    if lib is None:
+        return None
+    pl = np.ascontiguousarray(prefix_lens, dtype=np.int64)
+    sl = np.ascontiguousarray(suffix_lens, dtype=np.int64)
+    out = np.empty(max(out_size, 1), dtype=np.uint8)
+    n = lib.front_decode(
+        pl.ctypes.data, sl.ctypes.data, len(pl), suffixes, len(suffixes),
+        out.ctypes.data, out_size,
+    )
+    if n != out_size:
         return None
     return out[:n].tobytes()

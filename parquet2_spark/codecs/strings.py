@@ -85,6 +85,11 @@ def decode_delta_byte_array(buf: bytes | memoryview) -> BinArray:
     out_lens = pl + suf_lens
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(out_lens, out=offsets[1:])
+    from . import native
+
+    fast = native.front_decode(pl, suf_lens, sdata, int(offsets[-1]))
+    if fast is not None:
+        return offsets, fast
     out = bytearray(int(offsets[-1]))
     spos = 0
     prev_start = 0
