@@ -223,6 +223,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf_dir, "documents").select("doc_id", "text")
         ).select("doc_id", "fingerprint")
 
+    def rt_embeddings(spark, sf_dir):
+        """list<float> columns through the codec layer (delta lengths +
+        BYTE_STREAM_SPLIT child floats), exploded so the oracle compares
+        every element bitwise."""
+        from parquet2_spark.operators.roundtrip import roundtrip
+
+        emb = _t(spark, sf_dir, "embeddings")
+        rt = roundtrip(emb)
+        return rt.select(
+            "vec_id",
+            "label",
+            F.posexplode("embedding").alias("pos", "_v"),
+        ).select("vec_id", "label", "pos", F.col("_v").cast("double").alias("val"))
+
     def page_index_rows(spark, sf_dir):
         """Row-interval read through the page offset index (reference
         compute_rows/select_pages/SliceFilteredIter, SURVEY §2.D): encode
@@ -295,6 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {c: PLAIN for c in ["event_id", "ts", "user_id", "event_type", "value", "props"]},
         ),
         "rt_bool_flags": rt_bool_flags,
+        "rt_embeddings": rt_embeddings,
         # stats / pruning / bloom (SURVEY §2.D/§2.E parity)
         "chunk_stats_shipdate": chunk_stats_shipdate,
         "bloom_probe_docs": bloom_probe_docs,
@@ -386,6 +401,10 @@ SELECT query_id, vec_id, CAST(rank AS INT) AS rank FROM scored WHERE rank <= 5
         "bloom_probe_docs": "SELECT doc_id, TRUE AS might_contain FROM documents",
         "rt_bool_flags": (
             "SELECT l_orderkey, l_linenumber, l_returnflag = 'R' AS is_r FROM lineitem"
+        ),
+        "rt_embeddings": (
+            "SELECT vec_id, label, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos, "
+            "CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings"
         ),
         "ngram_jaccard_dups": (
             "SELECT doc_id AS id_a, doc_id + 1000 AS id_b, CAST(1000000 AS BIGINT) AS jaccard_r6 "

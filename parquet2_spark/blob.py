@@ -35,11 +35,13 @@ from .functions import selector as sel
 from .functions import stats as stats_mod
 from .functions.selector import (
     BITMAP,
+    BSS,
     CONSTANT,
     DELTA,
     DELTA_BYTE_ARRAY,
     DICT,
     FSST,
+    LIST_F,
     PLAIN,
     RLE_FOR,
     SelectorConfig,
@@ -61,6 +63,8 @@ TYPES: dict[int, tuple[str, Any, str, Callable[[], pa.DataType]]] = {
     9: ("date32", np.int32, "native", pa.date32),
     10: ("int16", np.int16, "native", pa.int16),
     11: ("int8", np.int8, "native", pa.int8),
+    12: ("list_float32", np.float32, "list", lambda: pa.list_(pa.float32())),
+    13: ("list_float64", np.float64, "list", lambda: pa.list_(pa.float64())),
 }
 _FLOAT_CODES = {3, 4}
 
@@ -70,6 +74,12 @@ def type_code_of(t: pa.DataType) -> int:
         return 8
     if pa.types.is_date32(t):
         return 9
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        if t.value_type.equals(pa.float32()):
+            return 12
+        if t.value_type.equals(pa.float64()):
+            return 13
+        raise TypeError(f"unsupported list value type: {t.value_type}")
     for code, (_, _, _, factory) in TYPES.items():
         if code in (8, 9):
             continue
@@ -96,6 +106,23 @@ def _extract_native(vals: pa.Array, code: int) -> np.ndarray:
 def _encode_values(code: int, kind: str, vals: pa.Array, codec: int, fsst_table=None) -> bytes:
     if kind == "bool":
         return rle.encode_bool(vals.to_numpy(zero_copy_only=False))
+    if kind == "list":
+        if codec != LIST_F:
+            raise ValueError(f"codec {codec} invalid for list")
+        import pyarrow.compute as pc
+
+        dtype = np.dtype(TYPES[code][1])
+        lv = vals.cast(pa.list_(pa.from_numpy_dtype(dtype)))
+        # flatten() walks offsets — .values would include gap data from
+        # sliced/drop_null'd arrays
+        child = lv.flatten().to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+        lens = pc.list_value_length(lv).to_numpy(zero_copy_only=False).astype(np.int64)
+        # [delta lens][uleb n_child][byte-stream-split child floats]
+        return (
+            delta.encode(lens)
+            + uleb128_encode(len(child))
+            + plain.encode_byte_stream_split(child)
+        )
     if kind == "binary":
         arr = barray.from_arrow(vals)
         if codec == PLAIN:
@@ -138,13 +165,24 @@ def _encode_values(code: int, kind: str, vals: pa.Array, codec: int, fsst_table=
         return delta.encode(v.astype(np.int64, copy=False))
     if codec == CONSTANT:
         return plain.encode_native(v[:1])
+    if codec == BSS:
+        return plain.encode_byte_stream_split(v)
     raise ValueError(f"codec {codec} invalid for native")
 
 
 def _decode_values(code: int, kind: str, buf: memoryview, codec: int, m: int, fsst_table=None):
-    """→ numpy array (native/bool) or BinArray (binary) of m non-null values."""
+    """→ numpy array (native/bool), BinArray (binary), or
+    (offsets, child ndarray) for lists — m non-null values."""
     if kind == "bool":
         return rle.decode_bool(buf, m)
+    if kind == "list":
+        dtype = np.dtype(TYPES[code][1])
+        lens, pos = delta.decode_consumed(buf)
+        n_child, pos = uleb128_decode(buf, pos)
+        child = plain.decode_byte_stream_split(buf[pos:], dtype, n_child)
+        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        return offsets, child
     if kind == "binary":
         if codec == PLAIN:
             return plain.decode_binary(buf)
@@ -189,6 +227,8 @@ def _decode_values(code: int, kind: str, buf: memoryview, codec: int, m: int, fs
         return delta.decode(buf).astype(dtype, copy=False)
     if codec == CONSTANT:
         return np.full(m, np.frombuffer(buf, dtype=dtype, count=1)[0], dtype=dtype)
+    if codec == BSS:
+        return plain.decode_byte_stream_split(buf, dtype, m)
     raise ValueError(f"codec {codec} invalid for native")
 
 
@@ -319,6 +359,29 @@ def decode_page(buf: bytes | memoryview, pos: int = 0, fsst_table=None) -> tuple
     m = n - nulls
     values = _decode_values(code, kind, enc, codec, m, fsst_table)
 
+    if kind == "list":
+        offsets, child = values
+        if valid is not None:
+            full = np.zeros(n + 1, dtype=np.int64)
+            lens = np.zeros(n, dtype=np.int64)
+            lens[valid] = np.diff(offsets)
+            np.cumsum(lens, out=full[1:])
+            offsets = full
+        list_type = factory()
+        child_arr = pa.array(child, type=list_type.value_type)
+        vbuf = (
+            pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+            if valid is not None
+            else None
+        )
+        out = pa.Array.from_buffers(
+            list_type,
+            n,
+            [vbuf, pa.py_buffer(offsets.astype(np.int32))],
+            null_count=nulls,
+            children=[child_arr],
+        )
+        return out, p
     if kind == "binary":
         offsets, data = values
         if valid is not None:

@@ -43,3 +43,20 @@ def decode_binary_consumed(buf: bytes | memoryview) -> tuple[BinArray, int]:
     np.cumsum(lens, out=offsets[1:])
     end = pos + int(offsets[-1])
     return (offsets, bytes(memoryview(buf)[pos:end])), end
+
+
+def encode_byte_stream_split(values: np.ndarray) -> bytes:
+    """BYTE_STREAM_SPLIT: transpose the byte planes of fixed-width values
+    so same-significance bytes are contiguous (floats compress far better
+    under a block codec). The reference lists this encoding as *not
+    implemented* (README.md:35-39) — implemented here from the public
+    parquet-format spec."""
+    v = np.ascontiguousarray(values)
+    width = v.dtype.itemsize
+    return v.view(np.uint8).reshape(-1, width).T.tobytes()
+
+
+def decode_byte_stream_split(buf: bytes | memoryview, dtype: np.dtype, n: int) -> np.ndarray:
+    width = np.dtype(dtype).itemsize
+    planes = np.frombuffer(buf, dtype=np.uint8, count=n * width).reshape(width, n)
+    return np.ascontiguousarray(planes.T).reshape(-1).view(dtype)[:n]

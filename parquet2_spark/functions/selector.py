@@ -24,7 +24,7 @@ from dataclasses import dataclass
 from .stats import BatchStats
 
 # codec ids shared with blob.py
-PLAIN, DICT, RLE_FOR, DELTA, DELTA_BYTE_ARRAY, FSST, CONSTANT, BITMAP = range(8)
+PLAIN, DICT, RLE_FOR, DELTA, DELTA_BYTE_ARRAY, FSST, CONSTANT, BITMAP, BSS, LIST_F = range(10)
 CODEC_NAMES = {
     PLAIN: "plain",
     DICT: "dict",
@@ -34,6 +34,8 @@ CODEC_NAMES = {
     FSST: "fsst",
     CONSTANT: "constant",
     BITMAP: "bitmap",
+    BSS: "byte_stream_split",
+    LIST_F: "list_floats",
 }
 
 
@@ -63,6 +65,8 @@ def shortlist(st: BatchStats, kind: str, is_float: bool, cfg: SelectorConfig = D
     m = st.nonnull
     if kind == "bool":
         return [BITMAP]
+    if kind == "list":
+        return [LIST_F]
     if m == 0:
         return [PLAIN]
     if st.ndv == 1:
@@ -85,6 +89,8 @@ def shortlist(st: BatchStats, kind: str, is_float: bool, cfg: SelectorConfig = D
         out.append(RLE_FOR)
         if st.sorted_frac >= cfg.sorted_min:
             out.append(DELTA)
+    else:
+        out.append(BSS)  # byte planes compress better under the outer codec
     out.append(PLAIN)
     return out
 

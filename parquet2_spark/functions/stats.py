@@ -47,6 +47,13 @@ def compute(arr: pa.Array, full: bool = True) -> BatchStats:
     if m == 0:
         return st
 
+    if pa.types.is_list(vals.type) or pa.types.is_large_list(vals.type):
+        # list columns: sizes only (ordering/ndv undefined for the selector)
+        st.raw_bytes = int(vals.values.nbytes) + 4 * m
+        st.ndv = m
+        st.run_count = m
+        return st
+
     if full:
         st.ndv = len(pc.unique(vals))
     mm = pc.min_max(vals)

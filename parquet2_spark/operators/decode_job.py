@@ -37,6 +37,11 @@ _PA_TYPE = {
     "tinyint": "int8",
 }
 
+_PA_LIST = {
+    "array<float>": "list<item: float>",
+    "array<double>": "list<item: double>",
+}
+
 _SPARK_TYPE = {
     "string": "string",
     "binary": "binary",
@@ -49,6 +54,8 @@ _SPARK_TYPE = {
     "date": "date",
     "smallint": "short",
     "tinyint": "byte",
+    "array<float>": "array<float>",
+    "array<double>": "array<double>",
 }
 
 
@@ -206,7 +213,19 @@ def decode(
                     arrays[name] = blob.concat_pages(parts)
         if any(a is None for a in arrays.values()):
             # all pages pruned → typed 0-row table
-            arrays = {c: pa.array([], type=pa.type_for_alias(_PA_TYPE[schema_map[c]])) for c in need}
+            arrays = {
+                c: pa.array(
+                    [],
+                    type=(
+                        pa.list_(pa.float32())
+                        if schema_map[c] == "array<float>"
+                        else pa.list_(pa.float64())
+                        if schema_map[c] == "array<double>"
+                        else pa.type_for_alias(_PA_TYPE[schema_map[c]])
+                    ),
+                )
+                for c in need
+            }
         n = len(next(iter(arrays.values()))) if arrays else 0
         cols = []
         for c in need:

@@ -189,6 +189,8 @@ _SPARK_TO_PA = {
     "float": pa.float32(),
     "boolean": pa.bool_(),
     "date": pa.date32(),
+    "array<float>": pa.list_(pa.float32()),
+    "array<double>": pa.list_(pa.float64()),
 }
 
 

@@ -182,3 +182,22 @@ def test_stats_compute_and_reduce():
     assert (chunk.n, chunk.null_count, chunk.min, chunk.max) == (7, 2, 1, 10)
     s = stats_mod.compute(pa.array(["bb", "aa", None]))
     assert s.min == b"aa" and s.max == b"bb" and s.raw_bytes == 4
+
+
+def test_list_float_roundtrip_with_nulls():
+    vals = [None if i % 17 == 0 else [float(x) for x in RNG.standard_normal(int(RNG.integers(0, 20)))] for i in range(400)]
+    arr = pa.array(vals, type=pa.list_(pa.float32()))
+    page, meta = blob.encode_page(arr)
+    assert meta.codec == "list_floats"
+    out, _ = blob.decode_page(page)
+    assert out.equals(arr)
+    buf, _ = blob.encode_chunk([arr.slice(0, 200), arr.slice(200, 200)])
+    assert blob.decode_chunk(buf).equals(arr)
+
+
+def test_byte_stream_split_selected_for_floats():
+    arr = pa.array(RNG.standard_normal(8000), type=pa.float64())
+    page, meta = blob.encode_page(arr)
+    assert meta.codec in ("byte_stream_split", "plain")
+    out, _ = blob.decode_page(page)
+    assert out.equals(arr)  # bitwise float equality via arrow equals
