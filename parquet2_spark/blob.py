@@ -34,7 +34,6 @@ from .codecs.varint import uleb128_decode, uleb128_encode
 from .functions import selector as sel
 from .functions import stats as stats_mod
 from .functions.selector import (
-    BITMAP,
     BSS,
     CONSTANT,
     DELTA,

@@ -13,9 +13,6 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Iterator
-
-import pandas as pd
 import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession

@@ -17,8 +17,6 @@ All signatures are deterministic (fixed hash seeds, splitmix mixing).
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
 import pandas as pd
 

@@ -9,8 +9,6 @@ slow path is justified and Arrow-batched).
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
 import pandas as pd
 

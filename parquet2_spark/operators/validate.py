@@ -9,8 +9,6 @@ validates itself against pyarrow-written files the same way (SURVEY §5.3).
 from __future__ import annotations
 
 import os
-from typing import Sequence
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 

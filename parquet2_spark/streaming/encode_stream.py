@@ -19,7 +19,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.encode_job import EncodeConfig, encode, finalize
+from ..operators.encode_job import EncodeConfig, encode
 
 
 def encode_stream(
