@@ -122,7 +122,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band", "bucket"),
-    )
+    ).persist()  # both sides of the self-join reuse the signature UDF pass
     left = banded.select(
         F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band", "bucket"
     )
