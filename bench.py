@@ -191,14 +191,19 @@ def main() -> None:
         # strong scaling needs enough work that fixed job overhead (~5 s of
         # scheduling/scan/warmup) amortizes — use a larger input than the
         # headline run when the headline input is small
-        scale_rows = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", max(WEB_ROWS, 480_000)))
+        # long windows self-average host noise and amortize the ~5 s fixed
+        # job cost to <5% of the N leg
+        scale_rows = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", max(WEB_ROWS, 1_000_000)))
         s0 = session(CPUS)  # generate the bigger input at full speed
         s0.sparkContext.setLogLevel("ERROR")
         scale_path = ensure_web_input(s0, scale_rows)
         s0.stop()
         def best_of(cores: int, reps: int = 2) -> dict:
             # the sandbox VM is noisy (2× swings minutes apart): best-of-N
-            # per core count is the standard defense
+            # per core count is the standard defense; the 1-core leg's long
+            # window already time-averages, one rep suffices
+            if cores == 1:
+                reps = 1
             best = None
             s = session(cores)
             s.sparkContext.setLogLevel("ERROR")
