@@ -268,6 +268,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tbl = pa.table({c: cols[c] for c in ["doc_id", "lang", "n_chars"]})
         return spark.createDataFrame(tbl.to_pandas())
 
+    def training_pipeline(spark, sf_dir):
+        """Composite training-data pipeline: exact dedup → quality filter →
+        language tag → token accounting → encode job; returns the
+        per-language corpus accounting the pipeline would log. Exercises
+        the operators composed the way a real pipeline runs them."""
+        import tempfile as _tf
+
+        from parquet2_spark.operators import dedup as dd
+        from parquet2_spark.operators import textstats as ts
+        from parquet2_spark.operators.encode_job import EncodeConfig, encode
+
+        docs = _t(spark, sf_dir, "documents")
+        clean = dd.exact(docs)
+        q = ts.quality_metrics(clean)
+        kept = q.filter((F.col("n_tokens") >= 10) & (F.col("punct_ratio") < 0.2))
+        tagged = ts.lang_id(kept.select("doc_id", "text", "lang"))
+        snap = _tf.mkdtemp(prefix="p2s_pipe_")
+        encode(
+            spark,
+            tagged.select("doc_id", "text", "lang", "lang_pred"),
+            snap,
+            EncodeConfig(target_rows=2048, page_rows=512, sort_by="doc_id",
+                         key="doc_id", host_from_key=False),
+        )
+        from parquet2_spark.operators import decode_job
+
+        out = decode_job.decode(spark, snap)
+        return (
+            out.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"), F.sum(F.length("text")).alias("n_chars"))
+            .orderBy("lang")
+        )
+
     def encode_webpages_lineage(spark, sf_dir):
         """North-star input table end-to-end: generate the web-page table,
         run the encode job, surface per-column lineage as rows."""
@@ -317,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_exact_dup_agreement": minhash_exact_dup_agreement,
         "page_index_rows": page_index_rows,
         # training-data pipeline operators
+        "training_pipeline": training_pipeline,
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_simhash_sigs": dedup_simhash_sigs,
@@ -383,8 +417,28 @@ scored AS (
 SELECT query_id, vec_id, CAST(rank AS INT) AS rank FROM scored WHERE rank <= 5
 """
 
+    pipe = """
+WITH kept AS (
+  SELECT doc_id, text, lang,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents
+), q AS (
+  SELECT lang, text,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+    CASE WHEN length(text) > 0
+         THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / length(text)
+         ELSE 0 END AS punct_ratio
+  FROM kept WHERE rn = 1
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM q WHERE n_tokens >= 10 AND punct_ratio < 0.2
+GROUP BY lang
+"""
+
     return {
         "encode_decode_documents": _sel("documents", docs_cols),
+        "training_pipeline": pipe,
         "rt_auto_lineitem": _sel("lineitem", li_cols),
         "rt_auto_events": _sel("events", ev_cols),
         "rt_dict_lang": _sel("documents", "doc_id, lang"),

@@ -65,7 +65,8 @@ def encode_delta_byte_array(arr: BinArray) -> bytes:
     starts = offsets[:-1] + pl
     pos0 = np.zeros(len(suf_lens) + 1, dtype=np.int64)
     np.cumsum(suf_lens, out=pos0[1:])
-    take = np.repeat(starts, suf_lens) + (np.arange(total) - np.repeat(pos0[:-1], suf_lens))
+    # single-repeat gather: repeat(starts)+within == arange + repeat(starts-pos0)
+    take = np.arange(total) + np.repeat(starts - pos0[:-1], suf_lens)
     suffixes = data[take].tobytes() if total else b""
     return delta.encode(pl) + delta.encode(suf_lens) + suffixes
 
