@@ -276,7 +276,7 @@ def select_codec(
             sizes[c] = min(len(enc), len(z))
         else:
             sizes[c] = len(enc)
-    return sel.pick_by_measure(sizes)
+    return sel.pick_by_measure(sizes, cfg)
 
 
 def encode_page(

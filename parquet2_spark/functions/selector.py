@@ -50,11 +50,16 @@ class SelectorConfig:
     sorted_min: float = 0.60
     fsst_min_avg_len: float = 6.0  # avg string bytes above this → fsst candidate
     outer: str | None = "zstd"  # outer block codec to try
-    outer_level: int | None = 3  # zstd-3: ~160+ MB/s and close to zstd-6 ratio
+    # zstd-2: measured identical ratio to zstd-3 on the web corpus
+    # (0.302 vs 0.302 html, 0.351 vs 0.350 text) at ~1.5x the speed
+    outer_level: int | None = 2
     outer_min_gain: float = 0.9  # keep outer only if ≤ 90% of encoded size
     outer_min_bytes: int = 128  # don't bother below this payload size
     enable_fsst: bool = True
     enable_front_coding: bool = True
+    # a cheaper-to-encode codec wins when its measured size is within this
+    # fraction of the best candidate (speed/ratio tradeoff knob)
+    speed_slack: float = 0.02
 
 
 DEFAULT = SelectorConfig()
@@ -95,7 +100,28 @@ def shortlist(st: BatchStats, kind: str, is_float: bool, cfg: SelectorConfig = D
     return out
 
 
-def pick_by_measure(sizes: dict[int, int]) -> int:
-    """Smallest sample encoding wins; ties break toward the cheaper decoder
-    (lower codec id ordering puts plain/dict first)."""
-    return min(sizes.items(), key=lambda kv: (kv[1], kv[0]))[0]
+# relative encode cost (measured on the webgen corpus, 128k-row chunks):
+# plain ~114 MB/s, dict/rle/delta/bss vector kernels, front-coding ~50,
+# fsst ~33 — lower rank = cheaper encode+decode
+ENCODE_COST_RANK = {
+    CONSTANT: 0,
+    BITMAP: 0,
+    PLAIN: 1,
+    LIST_F: 1,
+    BSS: 1,
+    DICT: 2,
+    RLE_FOR: 2,
+    DELTA: 2,
+    DELTA_BYTE_ARRAY: 4,
+    FSST: 5,
+}
+
+
+def pick_by_measure(sizes: dict[int, int], cfg: SelectorConfig = DEFAULT) -> int:
+    """Smallest sample encoding wins — unless a cheaper-to-encode codec is
+    within ``cfg.speed_slack`` of it (a 2x-faster encoder beats a <2%
+    size edge at 100 TB). Ties break toward the cheaper decoder."""
+    best_size = min(sizes.values())
+    cutoff = best_size * (1.0 + cfg.speed_slack)
+    near = {c: s for c, s in sizes.items() if s <= cutoff}
+    return min(near.items(), key=lambda kv: (ENCODE_COST_RANK.get(kv[0], 9), kv[1], kv[0]))[0]
