@@ -136,6 +136,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return ivf_topk(emb, qs, k=5).select("query_id", "vec_id", "rank")
 
+    def ann_ivf_full_probe(spark, sf_dir):
+        """IVF with n_probe = n_buckets is exhaustive, so its top-k must
+        equal brute force exactly — validates the IVF machinery (centroid
+        assignment, per-bucket scan, merge) against the SQL oracle; the
+        partial-probe variant above is the approximate scale path."""
+        from parquet2_spark.operators.similarity import ivf_topk
+
+        emb = _t(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        qs = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return ivf_topk(emb, qs, k=5, n_buckets=16, n_probe=16).select(
+            "query_id", "vec_id", "rank"
+        )
+
     def dedup_minhash_pairs(spark, sf_dir):
         from parquet2_spark.operators.dedup import minhash_lsh_pairs
 
@@ -201,13 +218,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return simhash_signatures(_t(spark, sf_dir, "documents"))
 
+    def dedup_minhash_planted(spark, sf_dir):
+        """LSH recall invariant: planted exact duplicates (doc_id + 1e6)
+        have identical shingle sets → identical signatures → collide in
+        every band with est_jaccard 1.0, so every planted pair MUST be in
+        the candidate output (the no-false-negative guarantee dedup needs;
+        the corpus also contains natural near-dups, reported by the
+        rows-only dedup_minhash_pairs query)."""
+        from parquet2_spark.operators.dedup import minhash_lsh_pairs
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        planted = docs.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        pairs = minhash_lsh_pairs(docs.unionByName(planted))
+        return (
+            pairs.filter(F.col("est_jaccard") >= 0.95)
+            .filter((F.col("id_b") - F.col("id_a")) == 1_000_000)
+            .select("id_a", "id_b")
+        )
+
+    def simhash_exact_dup_agreement(spark, sf_dir):
+        """SimHash of byte-identical texts must be identical — the simhash
+        twin of minhash_exact_dup_agreement (SQL-expressible invariant)."""
+        from parquet2_spark.operators.dedup import simhash_signatures
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        dup = docs.select((F.col("doc_id") + 5000).alias("doc_id"), "text")
+        sigs = simhash_signatures(docs.unionByName(dup))
+        a = sigs.filter(F.col("doc_id") < 5000).select(
+            F.col("doc_id").alias("k"), F.col("simhash").alias("sig_a")
+        )
+        b = sigs.filter(F.col("doc_id") >= 5000).select(
+            (F.col("doc_id") - 5000).alias("k"), F.col("simhash").alias("sig_b")
+        )
+        return a.join(b, "k").select(
+            F.col("k").alias("doc_id"),
+            (F.col("sig_a") != F.col("sig_b")).cast("int").alias("sig_mismatches"),
+        )
+
     def embedding_near_dup_q(spark, sf_dir):
+        """Planted-pair construction: scaled copies (vec_id + 1e6, 1.001x)
+        keep the exact direction, so they land in the same LSH bucket and
+        cosine ≈ 1 — the detector must return exactly those pairs (natural
+        pairs in this data stay below 0.9, measured)."""
         from parquet2_spark.operators.dedup import embedding_near_dup
 
-        emb = _t(spark, sf_dir, "embeddings").withColumn(
-            "embedding", F.col("embedding").cast("array<double>")
+        emb = _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         )
-        return embedding_near_dup(emb, threshold=0.9)
+        planted = emb.filter(F.col("vec_id") < 20).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+        )
+        pairs = embedding_near_dup(emb.unionByName(planted), threshold=0.995)
+        return pairs.select("id_a", "id_b")
 
     def lang_id_docs(spark, sf_dir):
         from parquet2_spark.operators.textstats import lang_id
@@ -353,7 +418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline": training_pipeline,
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_minhash_planted": dedup_minhash_planted,
         "dedup_simhash_sigs": dedup_simhash_sigs,
+        "simhash_exact_dup_agreement": simhash_exact_dup_agreement,
         "embedding_near_dup": embedding_near_dup_q,
         "text_quality_docs": text_quality_docs,
         "token_counts_docs": token_counts_docs,
@@ -362,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_docs": lang_id_docs,
         "ann_brute_topk": ann_brute_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_ivf_full_probe": ann_ivf_full_probe,
     }
 
 
@@ -478,8 +546,20 @@ GROUP BY lang
         "text_quality_docs": tq,
         "token_counts_docs": tok,
         "fingerprint_docs": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "embedding_near_dup": (
+            "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b "
+            "FROM embeddings WHERE vec_id < 20"
+        ),
+        "dedup_minhash_planted": (
+            "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b "
+            "FROM documents WHERE doc_id < 20"
+        ),
+        "simhash_exact_dup_agreement": (
+            "SELECT doc_id, CAST(0 AS INT) AS sig_mismatches FROM documents"
+        ),
+        "ann_ivf_full_probe": ann,
         "ann_brute_topk": ann,
         # rows-only (approximate / non-SQL): encode_webpages_lineage,
-        # dedup_minhash_pairs, dedup_simhash_sigs, embedding_near_dup,
+        # dedup_minhash_pairs, dedup_simhash_sigs,
         # lang_id_docs, rolling_fingerprint_docs, ann_ivf_topk
     }
