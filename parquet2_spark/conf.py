@@ -23,10 +23,12 @@ RECOMMENDED: dict[str, str] = {
     # one scan task ≈ one comfortable in-memory page run; chunks-table
     # payload rows are MB-scale, so the default 128 MB is right.
     "spark.sql.files.maxPartitionBytes": "134217728",
-    # shuffle partitions: set ≈ 2-4× total cores at submit time; at
-    # 100 TB the encode shuffle moves the whole dataset once — AQE
-    # coalescing handles the long tail.
-    # "spark.sql.shuffle.partitions": "<2-4x total cores>",
+    # shuffle partitions: set ≈ 4-8× total cores at submit time (capped
+    # by the planned partition-group count); at 100 TB the encode shuffle
+    # moves the whole dataset once — AQE coalescing handles the long
+    # tail, but too FEW partitions leaves one giant sorted run per slot
+    # (measured: 8× beats 1× at every core count on the bench box).
+    # "spark.sql.shuffle.partitions": "<4-8x total cores>",
     # lz4-compressed shuffle: the encode shuffle moves the whole dataset
     # once — raw shuffle blocks starve the encode kernels of memory
     # bandwidth (measured: lz4 is faster at every core count, and lifts
