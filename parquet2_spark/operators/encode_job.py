@@ -133,8 +133,9 @@ def plan_partitions(df: DataFrame, cfg: EncodeConfig) -> tuple[DataFrame, int]:
     hot = counts.filter(F.col("count") > cfg.target_rows).withColumn(
         "_salt_k", F.ceil(F.col("count") / cfg.target_rows).cast("int")
     )
-    total = counts.agg(F.sum("count"), F.count("*")).collect()[0]
-    total_rows = total[0] or 0
+    # exact row count via the scan's metadata (parquet footers): cheaper
+    # AND exact, vs summing the (possibly sampled) host counts
+    total_rows = df.count()
     n_parts = cfg.num_partitions or max(1, int(np.ceil(total_rows / cfg.target_rows)))
 
     salted = (
