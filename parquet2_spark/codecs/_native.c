@@ -29,6 +29,13 @@ typedef struct {
     uint8_t used[TABLE_SIZE];
     uint8_t len_present[9];
     int max_len;
+    /* direct-index fast paths (FSST-paper shortCodes shape): len-1 and
+     * len-2 symbols resolve with one array read; lenmask2[v16] has bit
+     * (L-3) set iff some length-L symbol (L>=3) starts with those two
+     * bytes, so the hash probe only runs for lengths that can match. */
+    int16_t code1[256];
+    int16_t code2[65536];
+    uint8_t lenmask2[65536];
 } table2_t;
 
 static table2_t G; /* single-threaded per python worker process */
@@ -42,17 +49,26 @@ static uint64_t window_val(const uint8_t *p, int len) {
 
 int fsst_build(const uint8_t *symbol_bytes, const int32_t *symbol_lens, int n_symbols) {
     memset(&G, 0, sizeof(G));
+    memset(G.code1, 0xFF, sizeof(G.code1));   /* int16 -1 */
+    memset(G.code2, 0xFF, sizeof(G.code2));
     const uint8_t *p = symbol_bytes;
     for (int i = 0; i < n_symbols; i++) {
         int len = symbol_lens[i];
         if (len < 1 || len > 8) return -1;
         uint64_t v = window_val(p, len);
-        uint64_t h = mix64(v * 0x9E3779B97F4A7C15ULL + (uint64_t)len) & TABLE_MASK;
-        while (G.used[h]) h = (h + 1) & TABLE_MASK;
-        G.vals[h] = v;
-        G.lens[h] = (uint8_t)len;
-        G.codes[h] = (int16_t)i;
-        G.used[h] = 1;
+        if (len == 1) {
+            G.code1[(uint8_t)v] = (int16_t)i;
+        } else if (len == 2) {
+            G.code2[(uint16_t)v] = (int16_t)i;
+        } else {
+            uint64_t h = mix64(v * 0x9E3779B97F4A7C15ULL + (uint64_t)len) & TABLE_MASK;
+            while (G.used[h]) h = (h + 1) & TABLE_MASK;
+            G.vals[h] = v;
+            G.lens[h] = (uint8_t)len;
+            G.codes[h] = (int16_t)i;
+            G.used[h] = 1;
+            G.lenmask2[(uint16_t)(v & 0xFFFF)] |= (uint8_t)(1u << (len - 3));
+        }
         G.len_present[len] = 1;
         if (len > G.max_len) G.max_len = len;
         p += len;
@@ -75,19 +91,27 @@ int64_t fsst_encode(const uint8_t *data, int64_t n, uint8_t *out) {
     int64_t i = 0, o = 0;
     while (i < n) {
         int64_t remaining = n - i;
-        int max_l = G.max_len < remaining ? G.max_len : (int)remaining;
         int code = -1, mlen = 1;
         /* longest window value once, then shrink by masking */
         uint64_t v8 = 0;
         int take = remaining >= 8 ? 8 : (int)remaining;
         memcpy(&v8, data + i, take);
         if (take < 8) v8 &= (1ULL << (8 * take)) - 1;
-        for (int L = max_l; L >= 1; L--) {
-            if (!G.len_present[L]) continue;
-            uint64_t v = L < 8 ? (v8 & ((1ULL << (8 * L)) - 1)) : v8;
-            int c = lookup(v, L);
-            if (c >= 0) { code = c; mlen = L; break; }
+        if (remaining >= 2) {
+            uint16_t v16 = (uint16_t)(v8 & 0xFFFF);
+            uint8_t mask = G.lenmask2[v16];
+            if (mask) {
+                int max_l = G.max_len < remaining ? G.max_len : (int)remaining;
+                for (int L = max_l; L >= 3; L--) {
+                    if (!(mask & (1u << (L - 3)))) continue;
+                    uint64_t v = L < 8 ? (v8 & ((1ULL << (8 * L)) - 1)) : v8;
+                    int c = lookup(v, L);
+                    if (c >= 0) { code = c; mlen = L; break; }
+                }
+            }
+            if (code < 0 && G.code2[v16] >= 0) { code = G.code2[v16]; mlen = 2; }
         }
+        if (code < 0 && G.code1[data[i]] >= 0) { code = G.code1[data[i]]; mlen = 1; }
         if (code >= 0) {
             out[o++] = (uint8_t)code;
         } else {
