@@ -58,6 +58,11 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("validate")
     sp.add_argument("input")
     sp.add_argument("snapshot")
+    sp.add_argument(
+        "--digest",
+        action="store_true",
+        help="join-free multiset-digest compare (one scan per side; the 100 TB path)",
+    )
     args = p.parse_args(argv)
 
     from .operators import decode_job, validate as validate_mod
@@ -103,7 +108,10 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.cmd == "validate":
         src = spark.read.parquet(args.input)
-        rep = validate_mod.validate(spark, src, args.snapshot)
+        if args.digest:
+            rep = validate_mod.digest_frames(src, decode_job.decode(spark, args.snapshot))
+        else:
+            rep = validate_mod.validate(spark, src, args.snapshot)
         print(json.dumps(rep))
         return 0 if rep["bit_identical"] else 1
     return 2

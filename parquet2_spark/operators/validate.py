@@ -43,6 +43,43 @@ def compare_frames(source: DataFrame, decoded: DataFrame, key: str = "url") -> d
     }
 
 
+def digest_frames(source: DataFrame, decoded: DataFrame) -> dict:
+    """Join-free bit-identity check — the 100 TB path.
+
+    One scan per side, no shuffle of row data: each row folds to a 64-bit
+    xxhash64 over all columns (sorted by name), and the multiset of row
+    hashes is summarized by (count, bit_xor, overflow-safe decimal sum).
+    Equal digests ⇒ equal row multisets up to hash collision (~2^-64 per
+    colliding pair); with unique keys that is per-key bit-identity. The
+    full-outer-join compare_frames stays as the forensic tool that can
+    *name* the mismatching rows."""
+
+    def digest(df: DataFrame) -> dict:
+        h = F.xxhash64(*[F.col(c) for c in sorted(df.columns)])
+        row = (
+            df.select(h.alias("_h"))
+            .agg(
+                F.count("*").alias("n"),
+                F.expr("bit_xor(_h)").alias("hxor"),
+                F.sum(F.col("_h").cast("decimal(38,0)")).alias("hsum"),
+            )
+            .collect()[0]
+        )
+        return {
+            "n": int(row["n"]),
+            "hxor": int(row["hxor"]) if row["hxor"] is not None else 0,
+            "hsum": int(row["hsum"]) if row["hsum"] is not None else 0,
+        }
+
+    a = digest(source)
+    b = digest(decoded)
+    return {
+        "source": a,
+        "decoded": b,
+        "bit_identical": a == b,
+    }
+
+
 def pyarrow_reference_size(source: DataFrame, path: str) -> int:
     """Write the same table with pyarrow's parquet writer (dictionary on,
     snappy — the reference oracle config) and return its data size."""

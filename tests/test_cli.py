@@ -56,6 +56,14 @@ def test_cli_validate(snapshot):
     assert rep["bit_identical"] is True
 
 
+def test_cli_validate_digest(snapshot):
+    inp, snap = snapshot
+    r = _run("validate", inp, snap, "--digest")
+    assert r.returncode == 0, r.stdout + r.stderr
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["bit_identical"] is True and rep["source"]["n"] == 800
+
+
 def test_cli_unknown_command():
     r = _run("frobnicate", "/tmp/nope")
     assert r.returncode == 2

@@ -49,6 +49,28 @@ def test_encode_decode_bit_identical(spark, webpages, tmp_path_factory):
     assert report["bit_identical"], report
 
 
+def test_digest_validate_matches_and_detects_mutation(spark, webpages, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    snap = str(tmp_path_factory.mktemp("snap_dig"))
+    encode(spark, webpages, snap, _cfg())
+    decoded = decode_job.decode(spark, snap)
+    rep = validate.digest_frames(webpages, decoded)
+    assert rep["bit_identical"], rep
+    assert rep["source"]["n"] == N_ROWS
+    # a single flipped byte anywhere must change the digest
+    mutated = decoded.withColumn(
+        "text",
+        F.when(F.col("url") == decoded.select("url").first()["url"],
+               F.concat(F.col("text"), F.lit("x"))).otherwise(F.col("text")),
+    )
+    rep2 = validate.digest_frames(webpages, mutated)
+    assert not rep2["bit_identical"]
+    # dropping one row must change it too (count + sum both move)
+    rep3 = validate.digest_frames(webpages, decoded.limit(N_ROWS - 1))
+    assert not rep3["bit_identical"]
+
+
 def test_validate_size_vs_pyarrow_reference(spark, webpages, tmp_path_factory):
     snap = str(tmp_path_factory.mktemp("snap_sz"))
     encode(spark, webpages, snap, _cfg())
