@@ -366,6 +366,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("lang")
         )
 
+    def table_append_decode(spark, sf_dir):
+        """Incremental ingestion: two batches appended as separate table
+        snapshots must decode to exactly the union (bit-identical), so
+        the flat SQL scan is the oracle."""
+        import tempfile as _tf
+
+        from parquet2_spark.operators import decode_job
+        from parquet2_spark.operators.encode_job import EncodeConfig
+        from parquet2_spark.operators.table import append
+
+        docs = _t(spark, sf_dir, "documents")
+        tdir = _tf.mkdtemp(prefix="p2s_table_") + "/t"
+        cfg = EncodeConfig(target_rows=256, page_rows=128, sort_by="doc_id",
+                           key="doc_id", host_from_key=False)
+        append(spark, docs.filter(F.col("doc_id") < 250), tdir, cfg)
+        append(spark, docs.filter(F.col("doc_id") >= 250), tdir, cfg)
+        return decode_job.decode(spark, tdir)
+
+    def table_time_travel(spark, sf_dir):
+        """as_of=1 must see only the first snapshot's rows."""
+        import tempfile as _tf
+
+        from parquet2_spark.operators import decode_job
+        from parquet2_spark.operators.encode_job import EncodeConfig
+        from parquet2_spark.operators.table import append
+
+        docs = _t(spark, sf_dir, "documents")
+        tdir = _tf.mkdtemp(prefix="p2s_ttrav_") + "/t"
+        cfg = EncodeConfig(target_rows=256, page_rows=128, sort_by="doc_id",
+                           key="doc_id", host_from_key=False)
+        append(spark, docs.filter(F.col("doc_id") < 250), tdir, cfg)
+        append(spark, docs.filter(F.col("doc_id") >= 250), tdir, cfg)
+        return decode_job.decode(spark, tdir, as_of=1)
+
     def encode_webpages_lineage(spark, sf_dir):
         """North-star input table end-to-end: generate the web-page table,
         run the encode job, surface per-column lineage as rows."""
@@ -389,6 +423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship job path
         "encode_decode_documents": _encode_decode_documents,
         "encode_webpages_lineage": encode_webpages_lineage,
+        "table_append_decode": table_append_decode,
+        "table_time_travel": table_time_travel,
         # codec round-trips (SURVEY §2.A parity)
         "rt_auto_lineitem": _rt(
             "lineitem",
@@ -506,6 +542,10 @@ GROUP BY lang
 
     return {
         "encode_decode_documents": _sel("documents", docs_cols),
+        "table_append_decode": _sel("documents", docs_cols),
+        "table_time_travel": (
+            f"SELECT {docs_cols} FROM documents WHERE doc_id < 250"
+        ),
         "training_pipeline": pipe,
         "rt_auto_lineitem": _sel("lineitem", li_cols),
         "rt_auto_events": _sel("events", ev_cols),

@@ -51,6 +51,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--target-rows", type=int, default=131_072)
     sp.add_argument("--page-rows", type=int, default=8_192)
     sp.add_argument("--no-resume", action="store_true")
+    sp = sub.add_parser("append")
+    sp.add_argument("input")
+    sp.add_argument("table")
+    sp.add_argument("--target-rows", type=int, default=131_072)
+    sp.add_argument("--page-rows", type=int, default=8_192)
     sp = sub.add_parser("decode")
     sp.add_argument("snapshot")
     sp.add_argument("output")
@@ -96,6 +101,28 @@ def main(argv: list[str] | None = None) -> int:
         print(
             json.dumps(
                 {k: lin[k] for k in ("rows", "raw_bytes", "enc_bytes", "wall_s", "n_partitions_committed")}
+            )
+        )
+        return 0
+    if args.cmd == "append":
+        from .operators.encode_job import EncodeConfig
+        from .operators.table import append, read_manifest
+
+        df = spark.read.parquet(args.input)
+        lin = append(
+            spark,
+            df,
+            args.table,
+            EncodeConfig(target_rows=args.target_rows, page_rows=args.page_rows),
+        )
+        man = read_manifest(args.table)
+        print(
+            json.dumps(
+                {
+                    "snapshot_id": man["current"],
+                    "rows_appended": lin["rows"],
+                    "table_snapshots": len(man["snapshots"]),
+                }
             )
         )
         return 0

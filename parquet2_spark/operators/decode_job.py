@@ -56,15 +56,60 @@ _SPARK_TYPE = {
 }
 
 
-def lineage(snapshot_dir: str) -> dict:
+def lineage(snapshot_dir: str, as_of: int | None = None) -> dict:
+    """Lineage of a snapshot dir — or the merged lineage of a multi-
+    snapshot table dir (see operators.table)."""
+    from . import table as table_mod
+
+    if table_mod.is_table(snapshot_dir):
+        merged: dict = {"table": snapshot_dir, "snapshots": [], "rows": 0,
+                        "raw_bytes": 0, "enc_bytes": 0, "per_column": {}}
+        for sid, sdir in table_mod.snapshot_dirs(snapshot_dir, as_of):
+            lin = lineage(sdir)
+            merged["snapshots"].append({"id": sid, "dir": sdir, "rows": lin["rows"]})
+            merged["rows"] += lin["rows"]
+            merged["raw_bytes"] += lin["raw_bytes"]
+            merged["enc_bytes"] += lin["enc_bytes"]
+            merged["schema"] = lin["schema"]  # append() enforces equality
+            merged["columns"] = lin["columns"]
+            for c, v in lin["per_column"].items():
+                agg = merged["per_column"].setdefault(
+                    c, {"raw_bytes": 0, "enc_bytes": 0, "n_rows": 0, "codecs": []}
+                )
+                agg["raw_bytes"] += v["raw_bytes"]
+                agg["enc_bytes"] += v["enc_bytes"]
+                agg["n_rows"] += v["n_rows"]
+                agg["codecs"] = sorted(set(agg["codecs"]) | set(v["codecs"]))
+        return merged
     with open(os.path.join(snapshot_dir, "_lineage.json")) as f:
         return json.load(f)
 
 
-def chunks_df(spark: SparkSession, snapshot_dir: str) -> DataFrame:
+def chunks_df(spark: SparkSession, snapshot_dir: str, as_of: int | None = None) -> DataFrame:
     """The chunks table (metadata + payload). Stats queries should select
     only metadata columns — parquet column pruning then never touches the
-    payload bytes."""
+    payload bytes. A multi-snapshot table dir unions every committed
+    snapshot's chunks with the part_id namespaced by snapshot id, so ids
+    never collide across snapshots."""
+    from . import table as table_mod
+
+    if table_mod.is_table(snapshot_dir):
+        parts = []
+        for sid, sdir in table_mod.snapshot_dirs(snapshot_dir, as_of):
+            d = spark.read.parquet(os.path.join(sdir, "chunks"))
+            parts.append(
+                d.withColumn(
+                    "part_id",
+                    (F.lit(sid).cast("long") * F.lit(1 << table_mod.SNAP_SHIFT))
+                    + F.col("part_id"),
+                )
+            )
+        if not parts:
+            raise FileNotFoundError(f"table {snapshot_dir} has no committed snapshots")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     return spark.read.parquet(os.path.join(snapshot_dir, "chunks"))
 
 
@@ -105,10 +150,16 @@ def prune_by_range(df: DataFrame, column: str, lo=None, hi=None) -> DataFrame:
     return out
 
 
-def check_integrity(snapshot_dir: str) -> None:
+def check_integrity(snapshot_dir: str, as_of: int | None = None) -> None:
     """Every commit marker must have its data file (a marker without its
     file means a torn snapshot — fail loudly instead of decoding a
     silently-partial table)."""
+    from . import table as table_mod
+
+    if table_mod.is_table(snapshot_dir):
+        for _, sdir in table_mod.snapshot_dirs(snapshot_dir, as_of):
+            check_integrity(sdir)
+        return
     commits = os.path.join(snapshot_dir, "_commits")
     chunks = os.path.join(snapshot_dir, "chunks")
     if not os.path.isdir(commits):
@@ -132,23 +183,25 @@ def decode(
     snapshot_dir: str,
     columns: list[str] | None = None,
     key_range: tuple | None = None,
+    as_of: int | None = None,
 ) -> DataFrame:
-    """Reassemble original rows from the snapshot.
+    """Reassemble original rows from a snapshot — or a multi-snapshot
+    table dir (``as_of`` time-travels to that snapshot id).
 
     ``key_range=(column, lo, hi)`` prunes whole *partitions* via zone maps
     before any payload is read (all of a partition's chunk rows are
     dropped when the keyed chunk falls outside the range), then prunes
     *pages* inside surviving chunks via the page index.
     """
-    check_integrity(snapshot_dir)
-    lin = lineage(snapshot_dir)
+    check_integrity(snapshot_dir, as_of)
+    lin = lineage(snapshot_dir, as_of)
     cols = columns or lin["columns"]
     schema_map = lin["schema"]
     unknown = [c for c in cols if c not in schema_map]
     if unknown:
         raise KeyError(f"columns not in snapshot schema: {unknown} (have {sorted(schema_map)})")
 
-    df = chunks_df(spark, snapshot_dir)
+    df = chunks_df(spark, snapshot_dir, as_of)
     key_col = key_range[0] if key_range else None
     if key_range:
         _, lo, hi = key_range

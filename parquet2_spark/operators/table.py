@@ -1,0 +1,113 @@
+"""Multi-snapshot table layout: incremental (append-only) ingestion.
+
+Iceberg-flavored on purpose (the north-star input is an Iceberg-managed
+crawl): a *table* is a directory of immutable snapshot dirs plus one
+manifest. Each append writes a brand-new snapshot with the existing
+checkpoint-resumable encode job, then commits it with one atomic manifest
+replace — readers never see a half-written snapshot, and a crash between
+"snapshot encoded" and "manifest committed" is healed by the next append,
+which resumes into the same uncommitted snapshot id (per-partition commit
+markers make that idempotent).
+
+    <table_dir>/
+      snap-000001/     # a normal snapshot (chunks/ + _commits/ + _lineage.json)
+      snap-000002/
+      _table.json      # {"format": 1, "current": 2, "snapshots": [...]}
+
+Time travel falls out of immutability: reading "as of snapshot k" is just
+ignoring manifest entries with id > k.
+
+Reference parity note: parquet2 writes immutable files with a metadata
+sidecar (src/write/file.rs:61-75) and leaves table management to the
+caller; this module is that caller for the 10^12-doc incremental-crawl
+case.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .encode_job import EncodeConfig, encode
+
+MANIFEST = "_table.json"
+# snapshot id namespaces the part_id when snapshots are read together:
+# part ids stay unique across snapshots without rewriting any file
+SNAP_SHIFT = 44  # part_id < 2^44 (~1.8e13 partitions), snap id < 2^19
+
+
+def is_table(path: str) -> bool:
+    return os.path.exists(os.path.join(path, MANIFEST))
+
+
+def read_manifest(table_dir: str) -> dict | None:
+    p = os.path.join(table_dir, MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def snapshot_dirs(table_dir: str, as_of: int | None = None) -> list[tuple[int, str]]:
+    """(snapshot id, absolute dir) for every committed snapshot ≤ as_of."""
+    man = read_manifest(table_dir)
+    if man is None:
+        raise FileNotFoundError(f"{table_dir} has no {MANIFEST}")
+    out = []
+    for s in man["snapshots"]:
+        if as_of is not None and s["id"] > as_of:
+            continue
+        out.append((s["id"], os.path.join(table_dir, s["dir"])))
+    return sorted(out)
+
+
+def append(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    cfg: EncodeConfig | None = None,
+    resume: bool = True,
+) -> dict:
+    """Encode ``df`` as the table's next snapshot and commit it.
+
+    Crash-safe at every point: the snapshot encodes with per-partition
+    atomic commits (resumable), and becomes visible only via the final
+    atomic manifest replace. Retrying a crashed append with the same
+    batch resumes the interrupted snapshot instead of duplicating it.
+    """
+    os.makedirs(table_dir, exist_ok=True)
+    man = read_manifest(table_dir) or {"format": 1, "current": 0, "snapshots": []}
+    if man["snapshots"]:
+        last = snapshot_dirs(table_dir)[-1][1]
+        with open(os.path.join(last, "_lineage.json")) as f:
+            prev_schema = json.load(f)["schema"]
+        if dict(df.dtypes) != prev_schema:
+            raise ValueError(
+                f"append schema {dict(df.dtypes)} != table schema {prev_schema}"
+            )
+    next_id = (max((s["id"] for s in man["snapshots"]), default=0)) + 1
+    snap_name = f"snap-{next_id:06d}"
+    snap_dir = os.path.join(table_dir, snap_name)
+
+    lin = encode(spark, df, snap_dir, cfg, resume=resume)
+
+    man["snapshots"].append(
+        {
+            "id": next_id,
+            "dir": snap_name,
+            "rows": lin["rows"],
+            "raw_bytes": lin["raw_bytes"],
+            "enc_bytes": lin["enc_bytes"],
+            "created_unix": time.time(),
+        }
+    )
+    man["current"] = next_id
+    tmp = os.path.join(table_dir, f"{MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(man, f, indent=1)
+    os.replace(tmp, os.path.join(table_dir, MANIFEST))
+    return lin

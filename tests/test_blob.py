@@ -111,6 +111,21 @@ def test_selector_picks_dict_or_rle_for_langs():
     assert out.equals(arr)
 
 
+def test_pick_by_measure_cost_aware():
+    from parquet2_spark.functions import selector as sel
+
+    cfg = sel.SelectorConfig(speed_slack=0.02)
+    # cheaper codec within slack wins over a marginally smaller expensive one
+    assert sel.pick_by_measure({sel.FSST: 1000, sel.PLAIN: 1015}, cfg) == sel.PLAIN
+    # outside the slack the smaller one wins regardless of cost
+    assert sel.pick_by_measure({sel.FSST: 1000, sel.PLAIN: 1200}, cfg) == sel.FSST
+    # chosen size is never worse than best * (1 + slack)
+    for sizes in ({sel.DICT: 50, sel.DELTA_BYTE_ARRAY: 49, sel.PLAIN: 200},
+                  {sel.RLE_FOR: 10, sel.PLAIN: 10}):
+        c = sel.pick_by_measure(sizes, cfg)
+        assert sizes[c] <= min(sizes.values()) * (1 + cfg.speed_slack)
+
+
 def test_selector_picks_delta_for_sorted_ts():
     ts = np.datetime64("2024-01-01", "us") + np.sort(
         RNG.integers(0, 86_400_000_000, size=10000)

@@ -64,6 +64,20 @@ def test_cli_validate_digest(snapshot):
     assert rep["bit_identical"] is True and rep["source"]["n"] == 800
 
 
+def test_cli_append_builds_table(snapshot, tmp_path_factory):
+    inp, _ = snapshot
+    tdir = str(tmp_path_factory.mktemp("cli_table") / "t")
+    r1 = _run("append", inp, tdir, "--target-rows", "400", "--page-rows", "200")
+    assert r1.returncode == 0, r1.stdout + r1.stderr
+    rep1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert rep1 == {"snapshot_id": 1, "rows_appended": 800, "table_snapshots": 1}
+    r2 = _run("append", inp, tdir, "--target-rows", "400", "--page-rows", "200")
+    rep2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert rep2["snapshot_id"] == 2 and rep2["table_snapshots"] == 2
+    r = _run("rowcount", tdir)
+    assert r.returncode == 0 and r.stdout.strip() == "1600"
+
+
 def test_cli_unknown_command():
     r = _run("frobnicate", "/tmp/nope")
     assert r.returncode == 2

@@ -1,0 +1,106 @@
+"""Multi-snapshot table: append, union decode, time travel, crash healing."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from parquet2_spark.operators import decode_job, validate
+from parquet2_spark.operators.encode_job import EncodeConfig, encode
+from parquet2_spark.operators.table import append, is_table, read_manifest
+from parquet2_spark.sources import webgen
+
+BATCH = 800
+
+
+def _cfg():
+    return EncodeConfig(target_rows=300, page_rows=150)
+
+
+def _batch(spark, k: int):
+    # disjoint id ranges per batch — webgen is pure in the ids
+    return webgen.webpages_df(spark, BATCH, partitions=2).withColumn(
+        "url", F.concat(F.lit(f"b{k}-"), F.col("url"))
+    )
+
+
+@pytest.fixture(scope="module")
+def table3(spark, tmp_path_factory):
+    """A table with three appended batches, plus the batches themselves."""
+    tdir = str(tmp_path_factory.mktemp("table") / "web_table")
+    batches = []
+    for k in range(1, 4):
+        df = _batch(spark, k).cache()
+        df.count()
+        batches.append(df)
+        append(spark, df, tdir, _cfg())
+    return tdir, batches
+
+
+def test_append_manifest_and_rowcount(spark, table3):
+    tdir, batches = table3
+    assert is_table(tdir)
+    man = read_manifest(tdir)
+    assert man["current"] == 3 and len(man["snapshots"]) == 3
+    lin = decode_job.lineage(tdir)
+    assert lin["rows"] == 3 * BATCH
+    assert decode_job.decode(spark, tdir).count() == 3 * BATCH
+
+
+def test_table_decode_bit_identical_union(spark, table3):
+    tdir, batches = table3
+    src = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    rep = validate.digest_frames(src, decode_job.decode(spark, tdir))
+    assert rep["bit_identical"], rep
+
+
+def test_time_travel_as_of(spark, table3):
+    tdir, batches = table3
+    assert decode_job.decode(spark, tdir, as_of=1).count() == BATCH
+    two = decode_job.decode(spark, tdir, as_of=2)
+    assert two.count() == 2 * BATCH
+    rep = validate.digest_frames(batches[0].unionByName(batches[1]), two)
+    assert rep["bit_identical"], rep
+    # snapshot ids beyond current behave like current
+    assert decode_job.decode(spark, tdir, as_of=99).count() == 3 * BATCH
+
+
+def test_append_schema_mismatch_rejected(spark, table3):
+    tdir, batches = table3
+    bad = batches[0].withColumn("extra", F.lit(1))
+    with pytest.raises(ValueError, match="schema"):
+        append(spark, bad, tdir, _cfg())
+
+
+def test_crashed_append_heals_without_duplicates(spark, tmp_path_factory):
+    tdir = str(tmp_path_factory.mktemp("table_crash") / "t")
+    b1 = _batch(spark, 1).cache()
+    b1.count()
+    append(spark, b1, tdir, _cfg())
+    # simulate a crash: snapshot 2 fully encoded but manifest never updated
+    b2 = _batch(spark, 2).cache()
+    b2.count()
+    encode(spark, b2, os.path.join(tdir, "snap-000002"), _cfg())
+    assert read_manifest(tdir)["current"] == 1
+    # retrying the append adopts the orphan snapshot (resume skips all
+    # committed partitions) instead of duplicating rows
+    lin = append(spark, b2, tdir, _cfg())
+    assert lin["resumed_partitions_skipped"] > 0
+    assert read_manifest(tdir)["current"] == 2
+    decoded = decode_job.decode(spark, tdir)
+    assert decoded.count() == 2 * BATCH
+    rep = validate.digest_frames(b1.unionByName(b2), decoded)
+    assert rep["bit_identical"], rep
+
+
+def test_table_stats_and_key_range_pruning(spark, table3):
+    tdir, _ = table3
+    st = decode_job.stats(spark, tdir).collect()
+    assert {r["column"] for r in st} == {"url", "warc_ts", "html", "text", "lang"}
+    # key-range decode over the table: only batch-2 urls
+    out = decode_job.decode(spark, tdir, key_range=("url", "b2-", "b2-￿"))
+    assert 0 < out.count() <= BATCH
+    assert out.filter(~F.col("url").startswith("b2-")).count() == 0
