@@ -106,8 +106,61 @@ def append(
         }
     )
     man["current"] = next_id
+    _write_manifest(table_dir, man)
+    return lin
+
+
+def _write_manifest(table_dir: str, man: dict) -> None:
     tmp = os.path.join(table_dir, f"{MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
         json.dump(man, f, indent=1)
     os.replace(tmp, os.path.join(table_dir, MANIFEST))
+
+
+def compact(
+    spark: SparkSession,
+    table_dir: str,
+    cfg: EncodeConfig | None = None,
+    keep_old: bool = False,
+) -> dict:
+    """Rewrite every committed snapshot into one fresh snapshot (the
+    Iceberg `rewrite_data_files` maintenance op): many small appends →
+    one well-partitioned snapshot, re-running codec selection over the
+    merged data. Readers switch atomically at the manifest replace; old
+    snapshot dirs are removed afterwards (or kept with ``keep_old`` for
+    external time-travel archival)."""
+    from . import decode_job
+
+    man = read_manifest(table_dir)
+    if man is None or not man["snapshots"]:
+        raise FileNotFoundError(f"{table_dir}: nothing to compact")
+    old = snapshot_dirs(table_dir)
+    next_id = max(s["id"] for s in man["snapshots"]) + 1
+    snap_name = f"snap-{next_id:06d}"
+    snap_dir = os.path.join(table_dir, snap_name)
+
+    df = decode_job.decode(spark, table_dir)
+    lin = encode(spark, df, snap_dir, cfg, resume=True)
+
+    new_man = {
+        "format": man["format"],
+        "current": next_id,
+        "snapshots": [
+            {
+                "id": next_id,
+                "dir": snap_name,
+                "rows": lin["rows"],
+                "raw_bytes": lin["raw_bytes"],
+                "enc_bytes": lin["enc_bytes"],
+                "created_unix": time.time(),
+                "compacted_from": [s["id"] for s in man["snapshots"]],
+            }
+        ],
+    }
+    _write_manifest(table_dir, new_man)
+    if not keep_old:
+        import shutil
+
+        for _, sdir in old:
+            shutil.rmtree(sdir, ignore_errors=True)
     return lin

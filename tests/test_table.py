@@ -96,6 +96,26 @@ def test_crashed_append_heals_without_duplicates(spark, tmp_path_factory):
     assert rep["bit_identical"], rep
 
 
+def test_compact_rewrites_to_single_snapshot(spark, tmp_path_factory):
+    from parquet2_spark.operators.table import compact
+
+    tdir = str(tmp_path_factory.mktemp("table_cmp") / "t")
+    b1, b2 = _batch(spark, 1).cache(), _batch(spark, 2).cache()
+    b1.count(), b2.count()
+    append(spark, b1, tdir, _cfg())
+    append(spark, b2, tdir, _cfg())
+    old_dirs = [s["dir"] for s in read_manifest(tdir)["snapshots"]]
+    compact(spark, tdir, _cfg())
+    man = read_manifest(tdir)
+    assert len(man["snapshots"]) == 1 and man["current"] == 3
+    assert man["snapshots"][0]["compacted_from"] == [1, 2]
+    for d in old_dirs:
+        assert not os.path.exists(os.path.join(tdir, d))
+    decoded = decode_job.decode(spark, tdir)
+    rep = validate.digest_frames(b1.unionByName(b2), decoded)
+    assert rep["bit_identical"], rep
+
+
 def test_table_stats_and_key_range_pruning(spark, table3):
     tdir, _ = table3
     st = decode_job.stats(spark, tdir).collect()
