@@ -167,7 +167,9 @@ def main() -> None:
 
     t0 = time.time()
     src = spark.read.parquet(web_path)
-    rep = validate.compare_frames(src, decode_job.decode(spark, enc["snap"]))
+    # digest mode: one scan per side, no row shuffle (the 100 TB path;
+    # the full-outer-join forensic mode stays in tests and the CLI)
+    rep = validate.digest_frames(src, decode_job.decode(spark, enc["snap"]))
     queries["validate_web"] = round(time.time() - t0, 3)
     extra["bit_identical"] = rep["bit_identical"]
 

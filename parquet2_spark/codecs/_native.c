@@ -145,6 +145,29 @@ int64_t fsst_decode(const uint8_t *enc, int64_t n, const uint8_t *symbol_bytes,
     return o;
 }
 
+/* MinHash: per document segment, per permutation, min of splitmix64(h +
+ * const_p) over the segment's shingle hashes — identical math to the
+ * numpy path (dedup.py), asserted byte-identical in tests. Permutation-
+ * inner loop so the compiler can vectorize across p. */
+void minhash64(const uint64_t *h, int64_t n, const int64_t *seg_starts,
+               int64_t n_docs, const uint64_t *consts, int nh, uint64_t *out) {
+    for (int64_t d = 0; d < n_docs; d++) {
+        int64_t s = seg_starts[d];
+        int64_t e = (d + 1 < n_docs) ? seg_starts[d + 1] : n;
+        for (int p = 0; p < nh; p++) out[p * n_docs + d] = ~0ULL;
+        for (int64_t i = s; i < e; i++) {
+            uint64_t x = h[i];
+            for (int p = 0; p < nh; p++) {
+                uint64_t z = x + consts[p];
+                z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+                z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+                z ^= z >> 31;
+                if (z < out[p * n_docs + d]) out[p * n_docs + d] = z;
+            }
+        }
+    }
+}
+
 /* Front-coding (DELTA_BYTE_ARRAY) reconstruction: value i = first
  * prefix_lens[i] bytes of value i-1 + its suffix. Sequential by nature —
  * exactly why it lives in C. Returns total bytes written or -1. */

@@ -68,6 +68,16 @@ def _build() -> "ctypes.CDLL | None":
         ctypes.c_void_p,
         ctypes.c_int64,
     ]
+    lib.minhash64.restype = None
+    lib.minhash64.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.c_void_p,
+        ctypes.c_int,
+        ctypes.c_void_p,
+    ]
     lib.fsst_decode.restype = ctypes.c_int64
     lib.fsst_decode.argtypes = [
         ctypes.c_void_p,
@@ -126,6 +136,24 @@ def fsst_decode(enc: bytes, symbols: list[bytes], out_size: int) -> bytes | None
     if n < 0 or n != out_size:
         return None
     return out[:n].tobytes()
+
+
+def minhash64(h, seg_starts, consts):
+    """(num_hashes, n_docs) per-segment splitmix minima — C kernel, or
+    None if the accelerator is unavailable. Math identical to the numpy
+    path in operators/dedup.py (asserted in tests)."""
+    lib = get()
+    if lib is None:
+        return None
+    hv = np.ascontiguousarray(h, dtype=np.uint64)
+    ss = np.ascontiguousarray(seg_starts, dtype=np.int64)
+    cs = np.ascontiguousarray(consts, dtype=np.uint64)
+    out = np.empty((len(cs), len(ss)), dtype=np.uint64)
+    lib.minhash64(
+        hv.ctypes.data, len(hv), ss.ctypes.data, len(ss),
+        cs.ctypes.data, len(cs), out.ctypes.data,
+    )
+    return out
 
 
 def front_decode(prefix_lens, suffix_lens, suffixes: bytes, out_size: int):

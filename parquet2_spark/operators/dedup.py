@@ -60,6 +60,34 @@ def _shingle_hashes(txt: str, k: int = 5) -> np.ndarray:
     return _mix((win * weights).sum(axis=1), 0)
 
 
+def _shingle_hash_batch(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Shingle hashes of a whole batch in one pass (no per-doc python):
+    concatenated hash array + per-doc segment starts for ``reduceat``.
+    Bit-identical to mapping ``_shingle_hashes`` over the docs (uint64
+    wraparound addition is order-free; asserted in tests)."""
+    bufs = [t.encode("utf-8", "ignore") for t in texts]
+    lens = np.array([max(len(b), k) for b in bufs], dtype=np.int64)  # zero-pad shorts
+    offs = np.zeros(len(bufs) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    data = np.zeros(int(offs[-1]), dtype=np.uint8)
+    for i, b in enumerate(bufs):
+        data[offs[i] : offs[i] + len(b)] = np.frombuffer(b, dtype=np.uint8)
+    # polynomial window value, k strided passes — never materializes the
+    # (total, k) window matrix
+    weights = np.uint64(257) ** np.arange(k, dtype=np.uint64)
+    n_all = len(data) - k + 1
+    with np.errstate(over="ignore"):
+        base = np.zeros(n_all, dtype=np.uint64)
+        for j in range(k):
+            base += data[j : j + n_all].astype(np.uint64) * weights[j]
+    # windows that start inside doc i: [offs[i], offs[i] + lens[i] - k]
+    n_win = lens - k + 1
+    seg_starts = np.zeros(len(bufs) + 1, dtype=np.int64)
+    np.cumsum(n_win, out=seg_starts[1:])
+    valid = np.arange(int(seg_starts[-1])) + np.repeat(offs[:-1] - seg_starts[:-1], n_win)
+    return _mix(base[valid], 0), seg_starts[:-1]
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -78,19 +106,28 @@ def minhash_signatures(
 
     @F.pandas_udf("array<long>")
     def sig(s: pd.Series) -> pd.Series:
-        out = []
-        for txt in s:
-            if not txt:
-                out.append(None)
-                continue
-            h = _shingle_hashes(txt, shingle_k)
-            # all permutations at once: (num_hashes, n) splitmix matrix
-            z = h[None, :] + _consts
-            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-            z ^= z >> np.uint64(31)
-            mins = z.min(axis=1)
-            out.append((mins >> np.uint64(1)).astype(np.int64).tolist())
+        texts = s.tolist()
+        keep = [i for i, t in enumerate(texts) if t]
+        out: list = [None] * len(texts)
+        if keep:
+            from ..codecs import native
+
+            h, seg_starts = _shingle_hash_batch([texts[i] for i in keep], shingle_k)
+            mins = native.minhash64(h, seg_starts, _consts[:, 0])
+            if mins is None:
+                # numpy fallback: one splitmix + segment-min pass per
+                # permutation over the whole batch (no per-doc python loop)
+                mins = np.empty((num_hashes, len(keep)), dtype=np.uint64)
+                with np.errstate(over="ignore"):
+                    for p in range(num_hashes):
+                        z = h + _consts[p, 0]
+                        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                        z ^= z >> np.uint64(31)
+                        mins[p] = np.minimum.reduceat(z, seg_starts)
+            sigs = (mins >> np.uint64(1)).astype(np.int64)
+            for j, i in enumerate(keep):
+                out[i] = sigs[:, j].tolist()
         return pd.Series(out)
 
     return df.select(F.col(id_col), sig(F.col(text_col)).alias("signature"))
