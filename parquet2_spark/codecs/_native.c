@@ -168,6 +168,28 @@ void minhash64(const uint64_t *h, int64_t n, const int64_t *seg_starts,
     }
 }
 
+/* SimHash: per document segment, the 64-bit sign-sum signature over the
+ * segment's shingle hashes — identical math to operators/dedup.py
+ * (votes[b] = 2*popcount_of_bit_b - n_windows; bit set iff positive;
+ * result >> 1 to stay non-negative in int64). */
+void simhash64(const uint64_t *h, int64_t n, const int64_t *seg_starts,
+               int64_t n_docs, int64_t *out) {
+    for (int64_t d = 0; d < n_docs; d++) {
+        int64_t s = seg_starts[d];
+        int64_t e = (d + 1 < n_docs) ? seg_starts[d + 1] : n;
+        int64_t cnt[64] = {0};
+        for (int64_t i = s; i < e; i++) {
+            uint64_t x = h[i];
+            for (int b = 0; b < 64; b++) cnt[b] += (x >> b) & 1ULL;
+        }
+        int64_t m = e - s;
+        uint64_t v = 0;
+        for (int b = 0; b < 64; b++)
+            if (2 * cnt[b] - m > 0) v |= 1ULL << b;
+        out[d] = (int64_t)(v >> 1);
+    }
+}
+
 /* Front-coding (DELTA_BYTE_ARRAY) reconstruction: value i = first
  * prefix_lens[i] bytes of value i-1 + its suffix. Sequential by nature —
  * exactly why it lives in C. Returns total bytes written or -1. */

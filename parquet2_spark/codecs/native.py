@@ -78,6 +78,14 @@ def _build() -> "ctypes.CDLL | None":
         ctypes.c_int,
         ctypes.c_void_p,
     ]
+    lib.simhash64.restype = None
+    lib.simhash64.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.c_void_p,
+    ]
     lib.fsst_decode.restype = ctypes.c_int64
     lib.fsst_decode.argtypes = [
         ctypes.c_void_p,
@@ -153,6 +161,19 @@ def minhash64(h, seg_starts, consts):
         hv.ctypes.data, len(hv), ss.ctypes.data, len(ss),
         cs.ctypes.data, len(cs), out.ctypes.data,
     )
+    return out
+
+
+def simhash64(h, seg_starts):
+    """Per-segment 64-bit sign-sum signatures — C kernel, or None if the
+    accelerator is unavailable."""
+    lib = get()
+    if lib is None:
+        return None
+    hv = np.ascontiguousarray(h, dtype=np.uint64)
+    ss = np.ascontiguousarray(seg_starts, dtype=np.int64)
+    out = np.empty(len(ss), dtype=np.int64)
+    lib.simhash64(hv.ctypes.data, len(hv), ss.ctypes.data, len(ss), out.ctypes.data)
     return out
 
 

@@ -187,19 +187,29 @@ def simhash_signatures(
 
     @F.pandas_udf("long")
     def sig(s: pd.Series) -> pd.Series:
-        out = np.zeros(len(s), dtype=np.int64)
-        bit_idx = np.arange(64, dtype=np.uint64)
-        for i, txt in enumerate(s):
-            if not txt:
-                continue
-            h = _shingle_hashes(txt, shingle_k)
-            bits = (h[:, None] >> bit_idx) & np.uint64(1)  # (n, 64)
-            # signed accumulation — uint64 would wrap on negative votes
-            votes = bits.sum(axis=0).astype(np.int64) * 2 - len(h)
-            v = np.uint64(0)
-            for b in np.flatnonzero(votes > 0):
-                v |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(v >> np.uint64(1))  # keep it positive
+        texts = s.tolist()
+        out = np.zeros(len(texts), dtype=np.int64)
+        keep = [i for i, t in enumerate(texts) if t]
+        if keep:
+            from ..codecs import native
+
+            h, seg_starts = _shingle_hash_batch([texts[i] for i in keep], shingle_k)
+            sigs = native.simhash64(h, seg_starts)
+            if sigs is None:
+                # numpy fallback, one doc at a time over the batch hashes
+                bit_idx = np.arange(64, dtype=np.uint64)
+                sigs = np.zeros(len(keep), dtype=np.int64)
+                bounds = np.append(seg_starts, len(h))
+                for j in range(len(keep)):
+                    hh = h[bounds[j] : bounds[j + 1]]
+                    bits = (hh[:, None] >> bit_idx) & np.uint64(1)  # (n, 64)
+                    # signed accumulation — uint64 would wrap on negative votes
+                    votes = bits.sum(axis=0).astype(np.int64) * 2 - len(hh)
+                    v = np.uint64(0)
+                    for b in np.flatnonzero(votes > 0):
+                        v |= np.uint64(1) << np.uint64(b)
+                    sigs[j] = np.int64(v >> np.uint64(1))  # keep it positive
+            out[keep] = sigs
         return pd.Series(out)
 
     return df.select(F.col(id_col), sig(F.col(text_col)).alias("simhash"))
