@@ -138,29 +138,48 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
         profs = _profile_vectors(dim)
         langs = list(profs)
         mat = np.stack([profs[l] for l in langs])  # (L, dim)
-        out = []
-        for txt in s:
-            if not txt or len(txt) < 3:
-                out.append(None)
+        texts = s.tolist()
+        out: list = [None] * len(texts)
+        keep, bufs = [], []
+        for i, t in enumerate(texts):
+            if not t or len(t) < 3:
                 continue
-            b = np.frombuffer(txt.encode("utf-8", "ignore"), dtype=np.uint8)
-            if len(b) < 3:
-                out.append(None)
-                continue
+            b = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
+            if len(b) >= 3:
+                keep.append(i)
+                bufs.append(b)
+        # whole-batch trigram counting: one bincount over (doc, bucket)
+        # keys and one BLAS matmul per chunk — no per-doc python loop
+        CH = 2048  # bounds the (CH, dim) counts matrix to ~64 MB
+        for c0 in range(0, len(keep), CH):
+            chunk = bufs[c0 : c0 + CH]
+            lens = np.array([len(b) for b in chunk], dtype=np.int64)
+            offs = np.zeros(len(chunk) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            data = np.concatenate(chunk)
+            n_all = len(data) - 2
             tri = (
-                b[:-2].astype(np.uint64) * np.uint64(65536)
-                + b[1:-1].astype(np.uint64) * np.uint64(256)
-                + b[2:].astype(np.uint64)
+                data[:n_all].astype(np.uint64) * np.uint64(65536)
+                + data[1 : 1 + n_all].astype(np.uint64) * np.uint64(256)
+                + data[2 : 2 + n_all].astype(np.uint64)
             )
-            v = np.bincount((tri % np.uint64(dim)).astype(np.int64), minlength=dim).astype(
-                np.float64
+            n_tri = lens - 2
+            segs = np.zeros(len(chunk) + 1, dtype=np.int64)
+            np.cumsum(n_tri, out=segs[1:])
+            valid = np.arange(int(segs[-1])) + np.repeat(offs[:-1] - segs[:-1], n_tri)
+            buckets = (tri[valid] % np.uint64(dim)).astype(np.int64)
+            docidx = np.repeat(np.arange(len(chunk)), n_tri)
+            counts = (
+                np.bincount(docidx * dim + buckets, minlength=len(chunk) * dim)
+                .reshape(len(chunk), dim)
+                .astype(np.float64)
             )
-            n = np.linalg.norm(v)
-            if n == 0:
-                out.append(None)
-                continue
-            sims = mat @ (v / n)
-            out.append(langs[int(sims.argmax())])
+            norms = np.linalg.norm(counts, axis=1)
+            nz = np.flatnonzero(norms > 0)
+            sims = (counts[nz] / norms[nz, None]) @ mat.T  # (nz, L)
+            picks = sims.argmax(axis=1)
+            for j, p in zip(nz, picks):
+                out[keep[c0 + int(j)]] = langs[int(p)]
         return pd.Series(out)
 
     return df.withColumn(out_col, predict(F.col(text_col)))
