@@ -70,28 +70,50 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text", window: int = 8) 
 
     @F.pandas_udf("long")
     def roll(s: pd.Series) -> pd.Series:
-        out = np.zeros(len(s), dtype=np.int64)
         B = np.uint64(1000003)
-        for i, txt in enumerate(s):
+        mask = np.uint64(0x7FFFFFFFFFFFFFFF)
+        powers = np.empty(window, dtype=np.uint64)
+        powers[window - 1] = np.uint64(1)
+        with np.errstate(over="ignore"):
+            for j in range(window - 2, -1, -1):
+                powers[j] = powers[j + 1] * B
+
+        texts = s.tolist()
+        out = np.zeros(len(texts), dtype=np.int64)
+        long_idx, bufs = [], []
+        for i, txt in enumerate(texts):
             if not txt:
                 continue
-            b = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            b = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
             if len(b) < window:
+                # short doc: plain polynomial over its actual length
+                # (zero-padding would change the hash)
                 h = np.uint64(0)
-                for x in b:
-                    h = h * B + x
-                out[i] = np.int64(h & np.uint64(0x7FFFFFFFFFFFFFFF))
-                continue
-            # vectorized rolling hash over all windows (winnowing min);
-            # uint64 wraparound is the hash's modulus
+                with np.errstate(over="ignore"):
+                    for x in b.astype(np.uint64):
+                        h = h * B + x
+                out[i] = np.int64(h & mask)
+            else:
+                long_idx.append(i)
+                bufs.append(b)
+        if long_idx:
+            # batched winnowing min: one polynomial pass over the
+            # concatenated buffers, segment-min via reduceat
+            lens = np.array([len(b) for b in bufs], dtype=np.int64)
+            offs = np.zeros(len(bufs) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            data = np.concatenate(bufs)
+            n_all = len(data) - window + 1
             with np.errstate(over="ignore"):
-                powers = np.empty(window, dtype=np.uint64)
-                powers[window - 1] = np.uint64(1)
-                for j in range(window - 2, -1, -1):
-                    powers[j] = powers[j + 1] * B
-                mat = np.lib.stride_tricks.sliding_window_view(b, window).astype(np.uint64)
-                hashes = (mat * powers).sum(axis=1)
-            out[i] = np.int64(hashes.min() & np.uint64(0x7FFFFFFFFFFFFFFF))
+                base = np.zeros(n_all, dtype=np.uint64)
+                for j in range(window):
+                    base += data[j : j + n_all].astype(np.uint64) * powers[j]
+            n_win = lens - window + 1
+            segs = np.zeros(len(bufs) + 1, dtype=np.int64)
+            np.cumsum(n_win, out=segs[1:])
+            valid = np.arange(int(segs[-1])) + np.repeat(offs[:-1] - segs[:-1], n_win)
+            mins = np.minimum.reduceat(base[valid], segs[:-1])
+            out[long_idx] = (mins & mask).astype(np.int64)
         return pd.Series(out)
 
     return df.withColumn("fingerprint", roll(F.col(text_col)))
