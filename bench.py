@@ -270,6 +270,49 @@ def main() -> None:
                 "ratio": round(dn["enc_bytes"] / max(dn["raw_bytes"], 1), 4),
                 "efficiency": round((d4["gbps"] / dn["gbps"]) / (n4_cores / n_cores), 3),
             }
+        # pure-CPU control: same Spark machinery, near-zero memory traffic
+        # (sha256 over a 4 KB buffer per task-step). If this scales ~1.0
+        # while the default profile doesn't, the gap is the box's memory
+        # bus, not the engine's coordination — reproduced in-band every
+        # bench run rather than claimed from a one-off experiment.
+        def cpu_control(cores: int) -> float:
+            import time as _t
+
+            s = session(cores)
+            s.sparkContext.setLogLevel("ERROR")
+            _warm_workers(s)
+
+            K = 3_000_000  # sha256 chain per task: ~1.5 s of pure CPU
+
+            def burn(batches):
+                import hashlib
+
+                import pyarrow as _pa
+
+                for rb in batches:
+                    h = b"\x00" * 32
+                    for _ in range(K):
+                        h = hashlib.sha256(h).digest()
+                    yield _pa.record_batch({"n": _pa.array([rb.num_rows], type=_pa.int64())})
+
+            tasks = cores * 4  # total work scales with cores (throughput probe)
+            t0 = _t.time()
+            s.range(0, tasks, 1, tasks).mapInArrow(burn, "n long").count()
+            wall = _t.time() - t0
+            s.stop()
+            return (tasks * K) / wall  # hashes/sec
+
+        if not os.environ.get("SPARK_GRAFT_SKIP_CPU_CONTROL"):
+            c_n = cpu_control(n_cores)
+            c_4n = cpu_control(n4_cores)
+            extra["scaling_cpu_control"] = {
+                "cores_n": n_cores,
+                "cores_4n": n4_cores,
+                "hashes_per_s_n": round(c_n),
+                "hashes_per_s_4n": round(c_4n),
+                "efficiency": round((c_4n / c_n) / (n4_cores / n_cores), 3),
+            }
+
         # secondary: the saturated pair shows where the box's memory
         # bandwidth ceiling sits (see BASELINE.md) — reported, not graded
         run_sat = best_of(min(n4_cores * 4, CPUS), reps=1)
