@@ -1,0 +1,67 @@
+"""Adversarial inputs: truncated/corrupt blobs must fail loudly, never
+hang or return a silently-wrong full-length array (verify-skill probes)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from parquet2_spark import blob
+from parquet2_spark.functions import selector as sel
+
+CASES = {
+    "plain_str": (lambda: pa.array([f"value-{i}" for i in range(500)]), sel.PLAIN),
+    "dict": (lambda: pa.array(["en", "de", "fr"] * 200), sel.DICT),
+    "rle_for": (lambda: pa.array(np.arange(1000) // 50), sel.RLE_FOR),
+    "delta": (lambda: pa.array(np.cumsum(np.arange(1000))), sel.DELTA),
+    "front": (
+        lambda: pa.array(sorted(f"https://h{i//7}.com/p{i}" for i in range(500))),
+        sel.DELTA_BYTE_ARRAY,
+    ),
+    "fsst": (lambda: pa.array([f"the quick brown fox {i} jumps" for i in range(400)]), sel.FSST),
+    "bitmap": (lambda: pa.array([i % 3 == 0 for i in range(1000)]), sel.BITMAP),
+    "bss": (
+        lambda: pa.array(np.random.default_rng(1).standard_normal(500), type=pa.float64()),
+        sel.BSS,
+    ),
+    "nulls": (
+        lambda: pa.array([None if i % 5 == 0 else f"t{i}" for i in range(500)]),
+        sel.PLAIN,
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+@pytest.mark.parametrize("frac", [0.2, 0.5, 0.9, 0.98])
+def test_truncated_page_fails_loudly(name, frac):
+    make, codec = CASES[name]
+    arr = make()
+    page, _ = blob.encode_page(arr, codec=codec)
+    cut = max(3, int(len(page) * frac))
+    try:
+        out, _ = blob.decode_page(page[:cut])
+    except Exception:
+        return  # clean failure is the contract
+    # a return is only acceptable if it's visibly wrong (short), never a
+    # full-length lookalike of the original
+    assert not (len(out) == len(arr) and out.equals(arr)), (name, frac)
+
+
+def test_truncated_chunk_fails_loudly():
+    arr = pa.array([f"doc body text number {i} with words" for i in range(2000)])
+    pages = [arr.slice(i, 500) for i in range(0, 2000, 500)]
+    payload, meta = blob.encode_chunk(pages, codec=sel.FSST)
+    for frac in (0.1, 0.4, 0.7, 0.95):
+        cut = max(3, int(len(payload) * frac))
+        with pytest.raises(Exception):
+            got = blob.decode_chunk(payload[:cut])
+            # reaching here means no exception — only tolerable when the
+            # result is visibly short
+            assert len(got) < len(arr)
+
+
+def test_garbage_header_rejected():
+    for junk in (b"", b"\x00", b"\xff" * 16, b"PAR1" + b"\x00" * 64):
+        with pytest.raises(Exception):
+            blob.decode_page(junk)
