@@ -400,6 +400,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         append(spark, docs.filter(F.col("doc_id") >= 250), tdir, cfg)
         return decode_job.decode(spark, tdir, as_of=1)
 
+    def point_lookup_bloom(spark, sf_dir):
+        """Bloom-assisted point lookup (reference §3.3 index-assisted read):
+        encode with a stored split-block bloom on doc_id, then decode with
+        key_eq — partitions whose bloom rules the key out are never read."""
+        import tempfile as _tf
+
+        from parquet2_spark.operators import decode_job
+        from parquet2_spark.operators.encode_job import EncodeConfig, encode
+
+        docs = _t(spark, sf_dir, "documents")
+        snap = _tf.mkdtemp(prefix="p2s_bloomq_")
+        encode(spark, docs, snap,
+               EncodeConfig(target_rows=64, page_rows=32, sort_by="doc_id",
+                            key="doc_id", host_from_key=False,
+                            bloom_columns=("doc_id",)))
+        return decode_job.decode(spark, snap, key_eq=("doc_id", 137))
+
     def encode_webpages_lineage(spark, sf_dir):
         """North-star input table end-to-end: generate the web-page table,
         run the encode job, surface per-column lineage as rows."""
@@ -425,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_webpages_lineage": encode_webpages_lineage,
         "table_append_decode": table_append_decode,
         "table_time_travel": table_time_travel,
+        "point_lookup_bloom": point_lookup_bloom,
         # codec round-trips (SURVEY §2.A parity)
         "rt_auto_lineitem": _rt(
             "lineitem",
@@ -545,6 +563,9 @@ GROUP BY lang
         "table_append_decode": _sel("documents", docs_cols),
         "table_time_travel": (
             f"SELECT {docs_cols} FROM documents WHERE doc_id < 250"
+        ),
+        "point_lookup_bloom": (
+            f"SELECT {docs_cols} FROM documents WHERE doc_id = 137"
         ),
         "training_pipeline": pipe,
         "rt_auto_lineitem": _sel("lineitem", li_cols),

@@ -13,6 +13,9 @@ from __future__ import annotations
 
 import json
 import os
+
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession
@@ -108,7 +111,9 @@ def chunks_df(spark: SparkSession, snapshot_dir: str, as_of: int | None = None) 
             raise FileNotFoundError(f"table {snapshot_dir} has no committed snapshots")
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
+            # allowMissingColumns: snapshots written before a metadata
+            # column existed (e.g. bloom) union with nulls there
+            out = out.unionByName(p, allowMissingColumns=True)
         return out
     return spark.read.parquet(os.path.join(snapshot_dir, "chunks"))
 
@@ -184,6 +189,7 @@ def decode(
     columns: list[str] | None = None,
     key_range: tuple | None = None,
     as_of: int | None = None,
+    key_eq: tuple | None = None,
 ) -> DataFrame:
     """Reassemble original rows from a snapshot — or a multi-snapshot
     table dir (``as_of`` time-travels to that snapshot id).
@@ -192,6 +198,12 @@ def decode(
     before any payload is read (all of a partition's chunk rows are
     dropped when the keyed chunk falls outside the range), then prunes
     *pages* inside surviving chunks via the page index.
+
+    ``key_eq=(column, value)`` is the bloom-assisted point lookup (the
+    reference's index-assisted read, SURVEY §3.3): partitions whose stored
+    split-block bloom (see ``EncodeConfig.bloom_columns``) rules the value
+    out are dropped before any payload is read; never a false negative.
+    The residual equality filter is applied to the decoded rows.
     """
     check_integrity(snapshot_dir, as_of)
     lin = lineage(snapshot_dir, as_of)
@@ -208,8 +220,39 @@ def decode(
         keyed = prune_by_range(df.filter(F.col("column") == key_col), key_col, lo, hi)
         surviving = keyed.select("part_id").distinct()
         df = df.join(F.broadcast(surviving), "part_id")
+    if key_eq is not None:
+        eq_col, eq_val = key_eq
+        # the value's hash, computed by the SAME JVM function that hashed
+        # the column at encode time
+        hv = int(
+            spark.range(1)
+            .select(F.xxhash64(F.lit(eq_val).cast(_SPARK_TYPE[schema_map[eq_col]])))
+            .first()[0]
+        )
 
-    need = sorted(set(cols) | ({key_col} if key_col else set()))
+        from ..plans import bloom as bloom_mod
+
+        @F.pandas_udf("boolean")
+        def might(b: pd.Series) -> pd.Series:
+            probe = np.array([hv], dtype=np.int64).view(np.uint64)
+            return pd.Series(
+                [
+                    True if bs is None else bool(bloom_mod.might_contain(bs, probe)[0])
+                    for bs in b
+                ]
+            )
+
+        if "bloom" in df.columns:
+            keyed = df.filter(F.col("column") == eq_col).filter(might(F.col("bloom")))
+            df = df.join(F.broadcast(keyed.select("part_id").distinct()), "part_id")
+        # snapshots written without bloom filters fall through to the
+        # residual equality filter (full scan, still correct)
+
+    need = sorted(
+        set(cols)
+        | ({key_col} if key_col else set())
+        | ({key_eq[0]} if key_eq is not None else set())
+    )
     df = df.filter(F.col("column").isin(need)).select(
         "part_id", "column", "payload", "page_mins", "page_maxs", "page_rows"
     )
@@ -291,4 +334,6 @@ def decode(
 
     out = df.groupBy("part_id").applyInArrow(rebuild, out_schema)
     # the key column rides along for pruning; drop it unless requested
+    if key_eq is not None:
+        out = out.filter(F.col(key_eq[0]) == F.lit(key_eq[1]))
     return out.select(*cols)

@@ -90,6 +90,7 @@ CHUNK_PA_SCHEMA = pa.schema(
         ("page_rows", pa.string()),
         ("page_mins", pa.string()),
         ("page_maxs", pa.string()),
+        ("bloom", pa.binary()),
         ("payload", pa.binary()),
     ]
 )
@@ -106,6 +107,10 @@ class EncodeConfig:
     num_partitions: int | None = None  # override partition count
     shuffle: bool = True  # False: keep input partitioning (no shuffle pass)
     host_sample_fraction: float = 1.0  # <1: sample-based hot-host counts
+    # per-chunk split-block bloom filters for these columns (values hashed
+    # JVM-side with xxhash64 before the shuffle; probed by decode key_eq)
+    bloom_columns: tuple = ()
+    bloom_fpp: float = 0.01
 
 
 def _host_col(key: str):
@@ -224,6 +229,16 @@ def _encode_partition_arrow(
         pages = [arr.slice(s, ln) for s, ln in page_slices] if n else [arr]
         payload, meta = blob.encode_chunk(pages, cfg.selector)
         min_bin, max_bin, min_num, max_num = _stat_cols(meta)
+        bloom_bytes = None
+        if col in cfg.bloom_columns and n:
+            # hashes were computed JVM-side (xxhash64) before the shuffle
+            from ..plans import bloom as bloom_mod
+
+            hv = in_table.column(f"_bh_{col}").to_numpy(zero_copy_only=False)
+            hv = hv[~np.isnan(hv)].astype(np.int64) if hv.dtype.kind == "f" else hv
+            bloom_bytes = bloom_mod.build(
+                np.asarray(hv, dtype=np.int64).view(np.uint64), fpp=cfg.bloom_fpp
+            )
         rows.append(
             {
                 "part_id": part_id,
@@ -243,6 +258,7 @@ def _encode_partition_arrow(
                 "page_rows": json.dumps(meta.page_rows),
                 "page_mins": json.dumps([_jstat(v) for v in meta.page_mins]),
                 "page_maxs": json.dumps([_jstat(v) for v in meta.page_maxs]),
+                "bloom": bloom_bytes,
                 "payload": payload,
             }
         )
@@ -270,7 +286,7 @@ def _encode_partition_arrow(
         "wall_s": wall,
         "cpu_s": time.process_time() - c0,
         "chunks": [
-            {k: _jsafe(v) for k, v in r.items() if k != "payload"} for r in rows
+            {k: _jsafe(v) for k, v in r.items() if k not in ("payload", "bloom")} for r in rows
         ],
     }
     mtmp = os.path.join(commits_dir, f"{part_id}.json.tmp-{uuid.uuid4().hex[:8]}")
@@ -279,7 +295,7 @@ def _encode_partition_arrow(
     os.replace(mtmp, os.path.join(commits_dir, f"{part_id}.json"))
 
     metric_rows = [
-        {**{k: v for k, v in r.items() if k not in ("payload", "page_mins", "page_maxs")}, "wall_s": wall}
+        {**{k: v for k, v in r.items() if k not in ("payload", "bloom", "page_mins", "page_maxs")}, "wall_s": wall}
         for r in rows
     ]
     return pa.Table.from_pylist(metric_rows, schema=METRICS_PA_SCHEMA)
@@ -338,6 +354,12 @@ def encode(
     t0 = time.time()
 
     planned, n_parts = plan_partitions(df, cfg)
+
+    for c in cfg.bloom_columns:
+        if c not in columns:
+            raise KeyError(f"bloom column {c} not in frame (have {columns})")
+        # JVM-side, vectorized — probe-time uses the same F.xxhash64
+        planned = planned.withColumn(f"_bh_{c}", F.xxhash64(F.col(c)))
 
     already = committed_parts(snapshot_dir) if resume else set()
     if already:

@@ -71,6 +71,34 @@ def test_digest_validate_matches_and_detects_mutation(spark, webpages, tmp_path_
     assert not rep3["bit_identical"]
 
 
+def test_bloom_point_lookup(spark, webpages, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    snap = str(tmp_path_factory.mktemp("snap_bloom"))
+    encode(spark, webpages, snap, _cfg(bloom_columns=("url",)))
+    target = webpages.orderBy("url").limit(1).first()
+
+    hit = decode_job.decode(spark, snap, key_eq=("url", target["url"])).collect()
+    assert len(hit) == 1 and hit[0]["url"] == target["url"]
+    assert hit[0]["text"] == target["text"]
+    # absent key: bloom may false-positive a partition, never a row
+    miss = decode_job.decode(spark, snap, key_eq=("url", "https://no.such/key"))
+    assert miss.count() == 0
+    # the stored blooms actually prune: most partitions rule the key out
+    chunks = decode_job.chunks_df(spark, snap).filter(F.col("column") == "url")
+    n_parts = chunks.count()
+    assert n_parts >= 4
+    from parquet2_spark.plans import bloom as bloom_mod
+
+    hv = int(spark.range(1).select(F.xxhash64(F.lit(target["url"]))).first()[0])
+    probe = np.array([hv], dtype=np.int64).view(np.uint64)
+    surviving = sum(
+        1 for r in chunks.select("bloom").collect()
+        if r["bloom"] is not None and bool(bloom_mod.might_contain(bytes(r["bloom"]), probe)[0])
+    )
+    assert 1 <= surviving < n_parts
+
+
 def test_validate_size_vs_pyarrow_reference(spark, webpages, tmp_path_factory):
     snap = str(tmp_path_factory.mktemp("snap_sz"))
     encode(spark, webpages, snap, _cfg())
