@@ -34,3 +34,21 @@ def test_definitely_absent_is_definite():
 def test_sizing_monotone():
     assert bloom.optimal_num_blocks(100) <= bloom.optimal_num_blocks(100_000)
     assert bloom.optimal_num_blocks(0) == 1
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1), min_size=1, max_size=400),
+        st.integers(min_value=1, max_value=64),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_property_never_false_negative(keys, n_blocks):
+        h = np.array(keys, dtype=np.uint64)
+        bits = bloom.build(h, n_blocks=n_blocks)
+        assert bloom.might_contain(bits, h).all()
+
+except ImportError:  # pragma: no cover
+    pass
