@@ -231,14 +231,17 @@ def _encode_partition_arrow(
         min_bin, max_bin, min_num, max_num = _stat_cols(meta)
         bloom_bytes = None
         if col in cfg.bloom_columns and n:
-            # hashes were computed JVM-side (xxhash64) before the shuffle
+            # hashes were computed JVM-side (xxhash64) before the shuffle;
+            # drop nulls ARROW-side — a float64 round-trip would corrupt
+            # 64-bit hashes (53-bit mantissa) and break the
+            # no-false-negative guarantee
             from ..plans import bloom as bloom_mod
 
-            hv = in_table.column(f"_bh_{col}").to_numpy(zero_copy_only=False)
-            hv = hv[~np.isnan(hv)].astype(np.int64) if hv.dtype.kind == "f" else hv
-            bloom_bytes = bloom_mod.build(
-                np.asarray(hv, dtype=np.int64).view(np.uint64), fpp=cfg.bloom_fpp
-            )
+            ha = in_table.column(f"_bh_{col}").combine_chunks()
+            if ha.null_count:
+                ha = ha.drop_null()
+            hv = ha.to_numpy(zero_copy_only=True).astype(np.int64, copy=False)
+            bloom_bytes = bloom_mod.build(hv.view(np.uint64), fpp=cfg.bloom_fpp)
         rows.append(
             {
                 "part_id": part_id,
