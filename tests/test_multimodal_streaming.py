@@ -83,3 +83,45 @@ def test_streaming_encode_availablenow(spark, tmp_path_factory):
     assert set(out.columns) == {"url", "warc_ts", "text", "lang"}
     # every decoded url is intact
     assert out.filter(~F.col("url").startswith("https://s.example.com/")).count() == 0
+
+
+def test_streaming_stateful_dedup_across_batches(spark, tmp_path_factory):
+    """applyInPandasWithState: first arrival of a text wins within AND
+    across micro-batches; the state store survives a query restart."""
+    from parquet2_spark.streaming.dedup_stream import stream_exact_dedup
+
+    base = tmp_path_factory.mktemp("sdedup")
+    inbox, outbox, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+    os.makedirs(inbox)
+
+    schema = "doc_id long, text string"
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(inbox)
+        q = stream_exact_dedup(src, outbox, ckpt)
+        q.awaitTermination(120)
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def drop(name, rows):
+        # single flat file: the file stream source does not recurse into
+        # the subdirectories df.write.parquet would create
+        tbl = pa.table({"doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                        "text": pa.array([r[1] for r in rows])})
+        tmp = str(base / f"{name}.tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(inbox, f"{name}.parquet"))
+
+    # batch 1: in-batch duplicate (10 and 11 share text); 12 unique
+    drop("b1", [(10, "alpha"), (11, "alpha"), (12, "beta")])
+    run()
+    got1 = {r.doc_id for r in spark.read.parquet(outbox).collect()}
+    assert got1 == {10, 12}
+
+    # batch 2 (fresh query run, same checkpoint): cross-batch duplicate
+    # ("alpha" again, "beta" again) must be suppressed by recovered state
+    drop("b2", [(20, "alpha"), (21, "gamma"), (22, "beta")])
+    run()
+    got2 = {r.doc_id for r in spark.read.parquet(outbox).collect()}
+    assert got2 == {10, 12, 21}, got2
