@@ -125,3 +125,52 @@ def test_streaming_stateful_dedup_across_batches(spark, tmp_path_factory):
     run()
     got2 = {r.doc_id for r in spark.read.parquet(outbox).collect()}
     assert got2 == {10, 12, 21}, got2
+
+
+def test_streaming_windowed_stats_watermark(spark, tmp_path_factory):
+    """Tumbling windows finalize once the watermark passes: batch 1 fills
+    two windows, batch 2's later events advance the watermark so the
+    early windows emit; a too-late event for a finalized window is
+    dropped."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet2_spark.streaming.window_stats import start_windowed_stats
+
+    base = tmp_path_factory.mktemp("swin")
+    inbox, outbox, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+    os.makedirs(inbox)
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def drop(name, rows):
+        tbl = pa.table({
+            "ts": pa.array([t0 + dt.timedelta(seconds=s) for s, _ in rows],
+                           type=pa.timestamp("us")),
+            "value": pa.array([float(v) for _, v in rows], type=pa.float64()),
+        })
+        tmp = str(base / f"{name}.tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(inbox, f"{name}.parquet"))
+
+    def run():
+        src = spark.readStream.schema("ts timestamp, value double").parquet(inbox)
+        q = start_windowed_stats(src, outbox, ckpt,
+                                 window="1 minute", watermark="1 minute")
+        q.awaitTermination(120)
+
+    # windows [0,60) and [60,120); watermark after this batch = 70s-60s = 10s
+    drop("b1", [(5, 1.0), (30, 2.0), (70, 10.0)])
+    run()
+    # advance the watermark to 340s: both early windows finalize and emit
+    drop("b2", [(400, 5.0)])
+    run()
+    # now 10s is WAY behind the watermark — must be dropped, not merged
+    drop("b3", [(10, 99.0), (430, 7.0)])
+    run()
+    got = {
+        (r.win_start.second + r.win_start.minute * 60, r.n_rows, r.sum_value)
+        for r in spark.read.parquet(outbox).collect()
+    }
+    assert got == {(0, 2, 3.0), (60, 1, 10.0)}, got
