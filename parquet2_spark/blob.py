@@ -297,6 +297,14 @@ def encode_page(
     if codec is None:
         codec = select_codec(arr, cfg, st)
 
+    # CONSTANT stores only the first non-null value — if a chunk-forced
+    # CONSTANT reaches a page that isn't actually constant (min != max),
+    # fall back to PLAIN rather than silently corrupting the page. Light
+    # stats always carry min/max, so this check costs nothing extra.
+    # (NaN != NaN also routes float-NaN pages to PLAIN — safe.)
+    if codec == CONSTANT and m and st.min != st.max:
+        codec = PLAIN
+
     enc = _encode_values(code, kind, vals, codec, fsst_table) if m else b""
     raw_size = len(enc)
 
@@ -480,6 +488,17 @@ def encode_chunk(
     chunk_codec = codec
     if chunk_codec is None:
         chunk_codec = select_codec(probe, cfg, stats=probe_stats, fsst_table=fsst_table)
+        if chunk_codec == CONSTANT:
+            # the probe page was constant, but CONSTANT is only valid for
+            # pages whose non-null values all match (it stores one value per
+            # page) — re-select on the first non-constant page if any exists.
+            # encode_page independently guards per page; this keeps the
+            # chunk-level pick good instead of falling back to PLAIN.
+            for p in pages:
+                ps = stats_mod.compute(p, full=False)
+                if ps.nonnull and ps.min != ps.max:
+                    chunk_codec = select_codec(p, cfg)
+                    break
 
     aux = b""
     if chunk_codec == FSST and sample:

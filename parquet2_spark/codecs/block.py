@@ -10,7 +10,7 @@ in our blob header, mirroring the reference's
 
 from __future__ import annotations
 
-import zlib
+import gzip as _gzip
 
 import pyarrow as pa
 
@@ -35,7 +35,10 @@ def compress(data: bytes, name: str | None, level: int | None = None) -> bytes:
         return data
     if not available(name):
         if name == "gzip":
-            return zlib.compress(data, 6)
+            # stdlib fallback must emit the SAME wire format the stored id
+            # promises — gzip framing, not zlib, so a pyarrow-gzip reader
+            # on another machine can decompress it (mtime=0: deterministic)
+            return _gzip.compress(data, compresslevel=6, mtime=0)
         raise ValueError(f"codec {name} unavailable")
     codec = pa.Codec(name) if level is None else pa.Codec(name, compression_level=level)
     return codec.compress(data, asbytes=True)
@@ -46,6 +49,6 @@ def decompress(data: bytes, name: str | None, raw_size: int) -> bytes:
         return bytes(data)
     if not available(name):
         if name == "gzip":
-            return zlib.decompress(bytes(data))
+            return _gzip.decompress(bytes(data))
         raise ValueError(f"codec {name} unavailable")
     return pa.Codec(name).decompress(bytes(data), decompressed_size=raw_size, asbytes=True)

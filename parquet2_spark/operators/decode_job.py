@@ -138,20 +138,47 @@ def stats(spark: SparkSession, snapshot_dir: str) -> DataFrame:
     )
 
 
+def _zone_bound(v):
+    """Normalize a user-supplied range bound to the zone map's storage
+    unit (mirrors encode_job._stat_cols.as_num): datetime → micros,
+    date → days-since-epoch; everything else passes through."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return int((v - epoch).total_seconds() * 1_000_000)
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days
+    return v
+
+
 def prune_by_range(df: DataFrame, column: str, lo=None, hi=None) -> DataFrame:
     """Zone-map chunk pruning for a decode of ``column`` restricted to
     [lo, hi] — ordinary Catalyst filters over stat columns."""
+    lo, hi = _zone_bound(lo), _zone_bound(hi)
     out = df
+    # Chunks with missing zone-map stats must be KEPT (pruning is only
+    # sound when the stat proves disjointness) — same polarity as the
+    # page-level prune. Float columns store no num stats, so without the
+    # isNull() branch a float key_range would silently prune everything.
     if isinstance(lo, (bytes, str)) or isinstance(hi, (bytes, str)):
         if lo is not None:
-            out = out.filter((F.col("column") != column) | (F.col("max_bin") >= F.lit(lo)))
+            out = out.filter(
+                (F.col("column") != column) | F.col("max_bin").isNull() | (F.col("max_bin") >= F.lit(lo))
+            )
         if hi is not None:
-            out = out.filter((F.col("column") != column) | (F.col("min_bin") <= F.lit(hi)))
+            out = out.filter(
+                (F.col("column") != column) | F.col("min_bin").isNull() | (F.col("min_bin") <= F.lit(hi))
+            )
     else:
         if lo is not None:
-            out = out.filter((F.col("column") != column) | (F.col("max_num") >= F.lit(lo)))
+            out = out.filter(
+                (F.col("column") != column) | F.col("max_num").isNull() | (F.col("max_num") >= F.lit(lo))
+            )
         if hi is not None:
-            out = out.filter((F.col("column") != column) | (F.col("min_num") <= F.lit(hi)))
+            out = out.filter(
+                (F.col("column") != column) | F.col("min_num").isNull() | (F.col("min_num") <= F.lit(hi))
+            )
     return out
 
 
@@ -259,7 +286,13 @@ def decode(
 
     out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[schema_map[c]]}" for c in need)
     session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
-    kr = key_range
+    # page zone maps store _jstat units (micros/days; bytes as utf-8 text)
+    # — normalize the bounds once so the page compare is unit-correct
+    def _page_bound(v):
+        v = _zone_bound(v)
+        return v.decode("utf-8", "replace") if isinstance(v, (bytes, bytearray)) else v
+
+    kr = (key_range[0], _page_bound(key_range[1]), _page_bound(key_range[2])) if key_range else None
 
     def rebuild(tbl: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

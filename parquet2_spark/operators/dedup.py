@@ -262,7 +262,16 @@ def embedding_near_dup(
     def bucket(s: pd.Series) -> pd.Series:
         mat = np.stack(s.to_numpy())  # (n, dim)
         bits = (mat @ planes.T) > 0
-        return pd.Series(np.packbits(bits, axis=1, bitorder="little")[:, :8].view(np.uint64)[:, 0].astype(np.int64) if n_planes > 32 else (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64))
+        if n_planes > 32:
+            # packbits yields ceil(n_planes/8) bytes/row — pad to 8 so the
+            # uint64 reinterpret is valid for every 32 < n_planes <= 64
+            packed = np.packbits(bits, axis=1, bitorder="little")
+            if packed.shape[1] < 8:
+                packed = np.pad(packed, ((0, 0), (0, 8 - packed.shape[1])))
+            key = np.ascontiguousarray(packed[:, :8]).view(np.uint64)[:, 0].astype(np.int64)
+        else:
+            key = (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+        return pd.Series(key)
 
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
     b = df.select(

@@ -169,14 +169,15 @@ def _stat_cols(meta: blob.ChunkMeta):
     def as_num(v):
         if v is None:
             return None
-        if hasattr(v, "timestamp"):  # datetime → micros
-            import datetime as _dt
+        import datetime as _dt
 
-            if isinstance(v, _dt.datetime):
-                epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-                return int((v - epoch).total_seconds() * 1_000_000)
+        if isinstance(v, _dt.datetime):  # datetime → micros
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            return int((v - epoch).total_seconds() * 1_000_000)
+        if isinstance(v, _dt.date):  # date → days since epoch (blob stores date32)
+            return (v - _dt.date(1970, 1, 1)).days
         if isinstance(v, float):
-            return None  # float stats not kept in num zone map
+            return None  # float stats go to the dbl zone map, not num
         return int(v)
     return None, None, as_num(mn), as_num(mx)
 

@@ -1,0 +1,159 @@
+"""Regression tests for the round-1 ADVICE findings."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from parquet2_spark import blob
+from parquet2_spark.codecs import block
+
+
+def _roundtrip_chunk(pages):
+    payload, meta = blob.encode_chunk(pages)
+    out = blob.decode_chunk(payload)
+    if isinstance(out, pa.ChunkedArray):
+        out = pa.concat_arrays(out.chunks)
+    want = pa.concat_arrays(pages)
+    assert out.equals(want), f"chunk roundtrip mismatch (codecs={meta.codecs})"
+    return meta
+
+
+class TestConstantChunkGuard:
+    """encode_chunk must not corrupt non-constant pages when the selector's
+    probe page is constant (ADVICE high #1)."""
+
+    def test_const_probe_then_varying_native(self):
+        pages = [
+            pa.array(np.full(200, 7, dtype=np.int64)),
+            pa.array(np.arange(100, dtype=np.int64)),
+        ]
+        meta = _roundtrip_chunk(pages)
+        assert meta.n_rows == 300
+
+    def test_const_probe_then_varying_binary(self):
+        pages = [
+            pa.array([b"same"] * 50, type=pa.binary()),
+            pa.array([f"v{i}".encode() for i in range(80)], type=pa.binary()),
+        ]
+        _roundtrip_chunk(pages)
+
+    def test_truly_constant_chunk_still_constant(self):
+        pages = [
+            pa.array(np.full(100, 3, dtype=np.int32)),
+            pa.array(np.full(60, 3, dtype=np.int32)),
+        ]
+        meta = _roundtrip_chunk(pages)
+        assert meta.codecs == ["constant"]
+
+    def test_per_page_distinct_constants_ok(self):
+        # CONSTANT stores one value per page — different constants across
+        # pages are valid and must roundtrip
+        pages = [
+            pa.array(np.full(100, 1, dtype=np.int64)),
+            pa.array(np.full(100, 2, dtype=np.int64)),
+        ]
+        meta = _roundtrip_chunk(pages)
+        assert meta.codecs == ["constant"]
+
+    def test_forced_constant_page_falls_back(self):
+        # even a FORCED chunk codec must not corrupt a non-constant page
+        page = pa.array(np.arange(50, dtype=np.int64))
+        from parquet2_spark.functions import selector as sel
+
+        payload, meta = blob.encode_page(page, codec=sel.CONSTANT)
+        arr, _ = blob.decode_page(payload)
+        assert arr.equals(page)
+        assert meta.codec == "plain"
+
+
+class TestPruneNullSafety:
+    """prune_by_range must KEEP chunks whose zone-map stats are null
+    (ADVICE high #2 — float columns store no num stats)."""
+
+    def test_null_stats_kept(self, spark):
+        rows = [
+            ("value", None, None, None, None),  # float chunk: no stats
+            ("value", None, None, 0, 10),
+            ("value", None, None, 100, 200),
+            ("other", None, None, None, None),
+        ]
+        df = spark.createDataFrame(
+            rows, "column string, min_bin binary, max_bin binary, min_num long, max_num long"
+        )
+        from parquet2_spark.operators.decode_job import prune_by_range
+
+        kept = prune_by_range(df, "value", lo=50, hi=60).collect()
+        cols = {(r["column"], r["min_num"]) for r in kept}
+        # null-stat chunk kept, disjoint [0,10] and [100,200] pruned,
+        # other-column rows untouched
+        assert ("value", None) in cols
+        assert ("other", None) in cols
+        assert ("value", 0) not in cols and ("value", 100) not in cols
+
+    def test_null_bin_stats_kept(self, spark):
+        rows = [("k", None, None, None, None), ("k", b"a", b"c", None, None)]
+        df = spark.createDataFrame(
+            rows, "column string, min_bin binary, max_bin binary, min_num long, max_num long"
+        )
+        from parquet2_spark.operators.decode_job import prune_by_range
+
+        kept = prune_by_range(df, "k", lo=b"x", hi=b"z").collect()
+        assert len(kept) == 1 and kept[0]["min_bin"] is None
+
+
+class TestDateStats:
+    def test_as_num_date(self):
+        from parquet2_spark.operators.encode_job import _stat_cols
+
+        meta = blob.ChunkMeta(
+            type_code=9, n_rows=1, null_count=0, raw_bytes=4, enc_bytes=4,
+            n_pages=1, codecs=["plain"], outers=[],
+            min=dt.date(2020, 1, 1), max=dt.date(2021, 6, 15),
+        )
+        _, _, lo, hi = _stat_cols(meta)
+        assert lo == (dt.date(2020, 1, 1) - dt.date(1970, 1, 1)).days
+        assert hi == (dt.date(2021, 6, 15) - dt.date(1970, 1, 1)).days
+
+    def test_date_chunk_roundtrip(self):
+        days = np.array([18262, 18263, 18263, 18400], dtype=np.int32)
+        arr = pa.array(days, type=pa.date32())
+        _roundtrip_chunk([arr])
+
+
+class TestGzipFallback:
+    def test_fallback_emits_real_gzip_frames(self, monkeypatch):
+        data = b"the quick brown fox " * 100
+        monkeypatch.setattr(block, "available", lambda name: name is None)
+        z = block.compress(data, "gzip")
+        # gzip magic — a pyarrow-gzip reader elsewhere can decode it
+        assert z[:2] == b"\x1f\x8b"
+        assert pa.Codec("gzip").decompress(z, decompressed_size=len(data), asbytes=True) == data
+        assert block.decompress(z, "gzip", len(data)) == data
+
+    def test_fallback_reads_pyarrow_gzip(self, monkeypatch):
+        data = b"payload " * 64
+        z = pa.Codec("gzip").compress(data, asbytes=True)
+        monkeypatch.setattr(block, "available", lambda name: name is None)
+        assert block.decompress(z, "gzip", len(data)) == data
+
+
+class TestNearDupPlanes:
+    @pytest.mark.parametrize("n_planes", [8, 33, 40, 64])
+    def test_bucket_udf_all_plane_counts(self, spark, n_planes):
+        from parquet2_spark.operators.dedup import embedding_near_dup
+
+        rng = np.random.default_rng(7)
+        base = rng.standard_normal(16).astype(np.float64)
+        rows = [
+            (0, base.tolist()),
+            (1, (base + 1e-4).tolist()),
+            (2, rng.standard_normal(16).tolist()),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = embedding_near_dup(df, threshold=0.99, n_planes=n_planes).collect()
+        pairs = {(r["id_a"], r["id_b"]) for r in got}
+        assert (0, 1) in pairs
