@@ -306,10 +306,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Row-interval read through the page offset index (reference
         compute_rows/select_pages/SliceFilteredIter, SURVEY §2.D): encode
         documents as ONE chunk sorted by doc_id, decode only rows
-        [100, 300) — pages outside the interval are never decoded."""
+        [100, 300) — pages outside the interval are never decoded, and the
+        read runs executor-side through decode(row_range=) (no payload
+        ever reaches the driver)."""
         import tempfile as _tf
 
-        from parquet2_spark import blob
         from parquet2_spark.operators import decode_job
         from parquet2_spark.operators.encode_job import EncodeConfig, encode
 
@@ -324,14 +325,112 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 key="doc_id", host_from_key=False, num_partitions=1,
             ),
         )
-        chunks = decode_job.chunks_df(spark, snap).select("column", "payload").collect()
-        import pyarrow as pa
+        return decode_job.decode(spark, snap, row_range=(100, 300)).select(
+            "doc_id", "lang", "n_chars"
+        )
 
-        cols = {}
-        for row in chunks:
-            cols[row["column"]] = blob.decode_chunk_rows(row["payload"], 100, 200)
-        tbl = pa.table({c: cols[c] for c in ["doc_id", "lang", "n_chars"]})
-        return spark.createDataFrame(tbl.to_pandas())
+    def decode_key_range(spark, sf_dir):
+        """Zone-map range decode (reference filter_row_groups, SURVEY
+        §2.D): partitions and pages outside [lo, hi] are pruned via
+        min/max stats, and the residual row filter makes the result
+        exact — the read path a `WHERE key BETWEEN` query takes."""
+        import tempfile as _tf
+
+        from parquet2_spark.operators import decode_job
+        from parquet2_spark.operators.encode_job import EncodeConfig, encode
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        snap = _tf.mkdtemp(prefix="p2s_kr_")
+        encode(
+            spark,
+            docs,
+            snap,
+            EncodeConfig(target_rows=512, page_rows=128, sort_by="doc_id",
+                         key="doc_id", host_from_key=False),
+        )
+        return decode_job.decode(
+            spark, snap, columns=["doc_id", "lang", "n_chars"],
+            key_range=("doc_id", 100, 350),
+        )
+
+    def rt_nested(spark, sf_dir):
+        """Nested containers through the codec layer (reference group
+        types / rep-def levels, schema_descriptor.rs:97-144): build
+        array<string>, struct and map columns from documents, round-trip
+        every page through encode/decode, then project scalars that pin
+        each container's full contents for the oracle."""
+        from parquet2_spark.operators.roundtrip import roundtrip
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+        nested = docs.select(
+            "doc_id",
+            F.split(F.col("text"), " ").alias("tokens"),
+            F.struct(
+                F.col("lang").alias("lang"), F.col("n_chars").cast("long").alias("nc")
+            ).alias("meta"),
+            F.create_map(
+                F.lit("n_chars"), F.col("n_chars").cast("long"),
+                F.lit("len2"), (F.col("n_chars") * 2).cast("long"),
+            ).alias("counts"),
+        )
+        rt = roundtrip(nested)
+        return rt.select(
+            "doc_id",
+            F.concat_ws("|", F.col("tokens")).alias("tokens_joined"),
+            F.size(F.col("tokens")).cast("long").alias("n_tokens"),
+            F.col("meta.lang").alias("meta_lang"),
+            F.col("meta.nc").alias("meta_nc"),
+            F.element_at(F.col("counts"), "n_chars").alias("cnt_nchars"),
+            F.element_at(F.col("counts"), "len2").alias("cnt_len2"),
+        )
+
+    def rt_decimal(spark, sf_dir):
+        """Decimal columns (reference PrimitiveLogicalType::Decimal,
+        parquet_bridge.rs:486) through the codec layer: exact
+        string-constructed decimals (narrow int64-backed and wide
+        two-word int128) round-tripped bit-identical."""
+        from parquet2_spark.operators.roundtrip import roundtrip
+
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+        cents = F.lpad((F.col("l_linenumber") * 7).cast("string"), 2, "0")
+        dec_str = F.concat(F.col("l_orderkey").cast("string"), F.lit("."), cents)
+        df = li.select(
+            "l_orderkey",
+            "l_linenumber",
+            dec_str.cast("decimal(18,2)").alias("price"),
+            dec_str.cast("decimal(38,10)").alias("price_wide"),
+            (-F.col("l_orderkey")).cast("string").cast("decimal(12,0)").alias("neg"),
+        )
+        rt = roundtrip(df)
+        return rt.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("price").cast("string").alias("price_s"),
+            F.col("price_wide").cast("string").alias("price_wide_s"),
+            F.col("neg").cast("string").alias("neg_s"),
+        )
+
+    def rt_small_types(spark, sf_dir):
+        """int8/int16/date32 through the codec layer (typed in blob.TYPES
+        since round 1, now oracle-driven): derived from lineitem so the
+        values are deterministic, output widened to bigint/strings for a
+        dtype-stable oracle compare."""
+        from parquet2_spark.operators.roundtrip import roundtrip
+
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate")
+        df = li.select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("tinyint").alias("t8"),
+            F.pmod(F.col("l_orderkey"), F.lit(30000)).cast("smallint").alias("s16"),
+            F.to_date(F.col("l_shipdate")).alias("d32"),
+        )
+        rt = roundtrip(df)
+        return rt.select(
+            "l_orderkey",
+            F.col("t8").cast("long").alias("t8_l"),
+            F.col("s16").cast("long").alias("s16_l"),
+            F.date_format(F.col("d32"), "yyyy-MM-dd").alias("d32_s"),
+        )
 
     def training_pipeline(spark, sf_dir):
         """Composite training-data pipeline: exact dedup → quality filter →
@@ -462,12 +561,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "rt_bool_flags": rt_bool_flags,
         "rt_embeddings": rt_embeddings,
+        # PLAIN byte arrays use the DELTA_LENGTH framing (E11/E12) — this
+        # makes the codec's oracle coverage explicit on long text
+        "rt_delta_length": _rt("documents", ["doc_id", "text"], {"text": PLAIN}),
+        "rt_nested": rt_nested,
+        "rt_decimal": rt_decimal,
+        "rt_small_types": rt_small_types,
         # stats / pruning / bloom (SURVEY §2.D/§2.E parity)
         "chunk_stats_shipdate": chunk_stats_shipdate,
         "bloom_probe_docs": bloom_probe_docs,
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "minhash_exact_dup_agreement": minhash_exact_dup_agreement,
         "page_index_rows": page_index_rows,
+        "decode_key_range": decode_key_range,
         # training-data pipeline operators
         "training_pipeline": training_pipeline,
         "dedup_exact_docs": dedup_exact_docs,
@@ -600,6 +706,39 @@ GROUP BY lang
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE doc_id >= 100 AND doc_id < 300"
         ),
+        "decode_key_range": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE doc_id BETWEEN 100 AND 350"
+        ),
+        "rt_delta_length": _sel("documents", "doc_id, text"),
+        "rt_nested": """
+SELECT doc_id,
+       replace(text, ' ', '|') AS tokens_joined,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       lang AS meta_lang,
+       CAST(n_chars AS BIGINT) AS meta_nc,
+       CAST(n_chars AS BIGINT) AS cnt_nchars,
+       CAST(n_chars * 2 AS BIGINT) AS cnt_len2
+FROM documents
+""",
+        "rt_decimal": """
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(CAST(l_orderkey AS VARCHAR) || '.' ||
+                 lpad(CAST(l_linenumber * 7 AS VARCHAR), 2, '0')
+            AS DECIMAL(18,2)) AS VARCHAR) AS price_s,
+       CAST(CAST(CAST(l_orderkey AS VARCHAR) || '.' ||
+                 lpad(CAST(l_linenumber * 7 AS VARCHAR), 2, '0')
+            AS DECIMAL(38,10)) AS VARCHAR) AS price_wide_s,
+       CAST(CAST(CAST(-l_orderkey AS VARCHAR) AS DECIMAL(12,0)) AS VARCHAR) AS neg_s
+FROM lineitem
+""",
+        "rt_small_types": """
+SELECT l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS t8_l,
+       CAST(l_orderkey % 30000 AS BIGINT) AS s16_l,
+       strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS d32_s
+FROM lineitem
+""",
         "dedup_exact_docs": (
             "SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups "
             "FROM documents GROUP BY text"

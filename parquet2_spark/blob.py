@@ -41,6 +41,7 @@ from .functions.selector import (
     DICT,
     FSST,
     LIST_F,
+    NESTED,
     PLAIN,
     RLE_FOR,
     SelectorConfig,
@@ -64,6 +65,19 @@ TYPES: dict[int, tuple[str, Any, str, Callable[[], pa.DataType]]] = {
     11: ("int8", np.int8, "native", pa.int8),
     12: ("list_float32", np.float32, "list", lambda: pa.list_(pa.float32())),
     13: ("list_float64", np.float64, "list", lambda: pa.list_(pa.float64())),
+    # recursive containers: the page payload is self-describing (a tag +
+    # child page blobs, each carrying its own type_code) — the analog of
+    # the reference's group types built from repetition/definition levels
+    # (reference/src/metadata/schema_descriptor.rs:97-144, parquet_bridge.rs:
+    # 505-508 List/Map logical groups)
+    14: ("list", None, "nested", None),
+    15: ("struct", None, "nested", None),
+    16: ("map", None, "nested", None),
+    # Decimal ≙ reference PrimitiveLogicalType::Decimal(p,s)
+    # (reference/src/parquet_bridge.rs:486); FixedLenByteArray ≙
+    # reference physical type (reference/src/schema/types/physical_type.rs:10-19)
+    17: ("decimal128", None, "nested", None),
+    18: ("fixed_binary", None, "nested", None),
 }
 _FLOAT_CODES = {3, 4}
 
@@ -75,12 +89,20 @@ def type_code_of(t: pa.DataType) -> int:
         return 9
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         if t.value_type.equals(pa.float32()):
-            return 12
+            return 12  # fast path: byte-stream-split child floats
         if t.value_type.equals(pa.float64()):
             return 13
-        raise TypeError(f"unsupported list value type: {t.value_type}")
+        return 14  # generic list<T>: recursive child page
+    if pa.types.is_struct(t):
+        return 15
+    if pa.types.is_map(t):
+        return 16
+    if pa.types.is_decimal(t):
+        return 17
+    if pa.types.is_fixed_size_binary(t):
+        return 18
     for code, (_, _, _, factory) in TYPES.items():
-        if code in (8, 9):
+        if code in (8, 9) or factory is None:
             continue
         if t.equals(factory()):
             return code
@@ -101,8 +123,135 @@ def _extract_native(vals: pa.Array, code: int) -> np.ndarray:
     return vals.to_numpy(zero_copy_only=False).astype(dtype, copy=False)
 
 
+# ---------------------------------------------------------------- nested
+# Nested payloads are self-describing: a 1-byte tag, container structure
+# (delta-coded lengths / field names / decimal p+s), then full child page
+# blobs — each child page carries its own type_code, codec and validity,
+# so nesting recurses to any depth and every child column benefits from
+# the same codec auto-selection as a top-level column. This is the
+# Spark/Arrow-native analog of the reference's repetition/definition-level
+# tree (reference/src/metadata/schema_descriptor.rs:97-144, nested
+# reassembly reference/tests/it/read/primitive_nested.rs:26-71).
+_NT_LIST, _NT_MAP, _NT_STRUCT, _NT_DECIMAL, _NT_FIXED = 1, 2, 3, 4, 5
+
+
+def _encode_nested(vals: pa.Array, cfg: SelectorConfig) -> bytes:
+    t = vals.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        off = vals.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(off)
+        child = vals.flatten()  # offset-aware (never .values on slices)
+        blob_child, _ = encode_page(child, cfg)
+        return bytes([_NT_LIST]) + delta.encode(lens) + blob_child
+    if pa.types.is_map(t):
+        # physically list<struct<key,value>>: .keys/.items are the FULL
+        # child arrays; .offsets index into them (slice-relative window)
+        off = vals.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(off)
+        base, total = int(off[0]), int(off[-1] - off[0])
+        kb, _ = encode_page(vals.keys.slice(base, total), cfg)
+        ib, _ = encode_page(vals.items.slice(base, total), cfg)
+        return bytes([_NT_MAP]) + delta.encode(lens) + kb + ib
+    if pa.types.is_struct(t):
+        names = [t.field(i).name for i in range(t.num_fields)]
+        children = vals.flatten()  # per-field arrays, offset/length-aware
+        head = [bytes([_NT_STRUCT]), uleb128_encode(len(names))]
+        for name in names:
+            nb = name.encode("utf-8")
+            head.append(uleb128_encode(len(nb)))
+            head.append(nb)
+        blobs = [encode_page(c, cfg)[0] for c in children]
+        return b"".join(head) + b"".join(blobs)
+    if pa.types.is_decimal(t):
+        m = len(vals)
+        words = np.frombuffer(
+            vals.buffers()[1], dtype="<i8", count=2 * m, offset=16 * vals.offset
+        ) if m else np.empty(0, dtype=np.int64)
+        lo, hi = words[0::2], words[1::2]
+        wide = 1 if t.precision > 18 else 0
+        head = bytes([_NT_DECIMAL, t.precision, t.scale, wide])
+        if not wide:
+            # |unscaled| < 10^18 < 2^63: the low word IS the int64 value —
+            # child page gets delta/dict/RLE selection like any int column
+            lob, _ = encode_page(pa.array(np.ascontiguousarray(lo)), cfg)
+            return head + lob
+        lob, _ = encode_page(pa.array(np.ascontiguousarray(lo)), cfg)
+        hib, _ = encode_page(pa.array(np.ascontiguousarray(hi)), cfg)
+        return head + lob + hib
+    if pa.types.is_fixed_size_binary(t):
+        # manual variable-binary view (pyarrow 16 segfaults casting a
+        # SLICED fixed_size_binary → binary); dict/FSST/plain then apply
+        m, k = len(vals), t.byte_width
+        window = memoryview(vals.buffers()[1])[vals.offset * k : (vals.offset + m) * k]
+        offsets = (np.arange(m + 1, dtype=np.int64) * k).astype(np.int32)
+        child = pa.Array.from_buffers(
+            pa.binary(), m, [None, pa.py_buffer(offsets), pa.py_buffer(window)]
+        )
+        cb, _ = encode_page(child, cfg)
+        return bytes([_NT_FIXED]) + uleb128_encode(t.byte_width) + cb
+    raise TypeError(f"unsupported nested arrow type: {t}")
+
+
+def _offsets32(lens: np.ndarray) -> pa.Array:
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    if offsets[-1] > np.iinfo(np.int32).max:
+        raise ValueError("nested page exceeds int32 offsets — lower page_rows")
+    return pa.array(offsets.astype(np.int32), type=pa.int32())
+
+
+def _decode_nested(buf: memoryview, m: int) -> pa.Array:
+    tag = buf[0]
+    if tag == _NT_LIST:
+        lens, pos = delta.decode_consumed(buf[1:])
+        child, _ = decode_page(buf[1:], pos)
+        return pa.ListArray.from_arrays(_offsets32(lens), child)
+    if tag == _NT_MAP:
+        lens, pos = delta.decode_consumed(buf[1:])
+        keys, pos = decode_page(buf[1:], pos)
+        items, _ = decode_page(buf[1:], pos)
+        return pa.MapArray.from_arrays(_offsets32(lens), keys, items)
+    if tag == _NT_STRUCT:
+        n_fields, pos = uleb128_decode(buf, 1)
+        names = []
+        for _ in range(n_fields):
+            ln, pos = uleb128_decode(buf, pos)
+            names.append(bytes(buf[pos : pos + ln]).decode("utf-8"))
+            pos += ln
+        children = []
+        for _ in range(n_fields):
+            c, pos = decode_page(buf, pos)
+            children.append(c)
+        return pa.StructArray.from_arrays(children, names=names)
+    if tag == _NT_DECIMAL:
+        precision, scale, wide = buf[1], buf[2], buf[3]
+        lo, pos = decode_page(buf, 4)
+        lo = lo.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        if wide:
+            hi, _ = decode_page(buf, pos)
+            hi = hi.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        else:
+            hi = np.where(lo < 0, np.int64(-1), np.int64(0))
+        inter = np.empty(2 * m, dtype=np.int64)
+        inter[0::2], inter[1::2] = lo, hi
+        return pa.Array.from_buffers(
+            pa.decimal128(precision, scale), m, [None, pa.py_buffer(inter.tobytes())]
+        )
+    if tag == _NT_FIXED:
+        k, pos = uleb128_decode(buf, 1)
+        child, _ = decode_page(buf, pos)
+        return child.cast(pa.binary(k))
+    raise ValueError(f"unknown nested tag {tag}")
+
+
 # ---------------------------------------------------------------- values codecs
-def _encode_values(code: int, kind: str, vals: pa.Array, codec: int, fsst_table=None) -> bytes:
+def _encode_values(
+    code: int, kind: str, vals: pa.Array, codec: int, fsst_table=None, cfg: SelectorConfig = sel.DEFAULT
+) -> bytes:
+    if kind == "nested":
+        if codec != NESTED:
+            raise ValueError(f"codec {codec} invalid for nested")
+        return _encode_nested(vals, cfg)
     if kind == "bool":
         return rle.encode_bool(vals.to_numpy(zero_copy_only=False))
     if kind == "list":
@@ -270,7 +419,7 @@ def select_codec(
     # zstd does not imply "fsst+zstd < plain+zstd" (SURVEY §7 risk note)
     sizes = {}
     for c in candidates:
-        enc = _encode_values(code, kind, sample, c, fsst_table=fsst_table)
+        enc = _encode_values(code, kind, sample, c, fsst_table=fsst_table, cfg=cfg)
         if cfg.outer and len(enc) >= cfg.outer_min_bytes:
             z = block.compress(enc, cfg.outer, cfg.outer_level)
             sizes[c] = min(len(enc), len(z))
@@ -305,12 +454,20 @@ def encode_page(
     if codec == CONSTANT and m and st.min != st.max:
         codec = PLAIN
 
-    enc = _encode_values(code, kind, vals, codec, fsst_table) if m else b""
+    # nested payloads are written even for m == 0: the tag + empty child
+    # pages carry the full type tree, so all-null pages decode typed
+    enc = (
+        _encode_values(code, kind, vals, codec, fsst_table, cfg=cfg)
+        if (m or kind == "nested")
+        else b""
+    )
     raw_size = len(enc)
 
     outer_id = 0
     payload = enc
-    if cfg.outer and raw_size >= cfg.outer_min_bytes:
+    # nested children already carry their own outer compression — an outer
+    # layer here would re-compress compressed bytes for no gain
+    if cfg.outer and raw_size >= cfg.outer_min_bytes and kind != "nested":
         compressed = block.compress(enc, cfg.outer, cfg.outer_level)
         if len(compressed) <= raw_size * cfg.outer_min_gain:
             payload = compressed
@@ -360,10 +517,25 @@ def decode_page(buf: bytes | memoryview, pos: int = 0, fsst_table=None) -> tuple
     payload = buf[p : p + plen]
     p += plen
 
-    if nulls == n:
+    if nulls == n and kind != "nested":
         return pa.nulls(n, factory()), p
     enc = memoryview(block.decompress(payload, block.CODEC_IDS[outer_id], raw_size))
     m = n - nulls
+
+    if kind == "nested":
+        values = _decode_nested(enc, m)
+        if m < n:
+            # scatter nulls generically: take() with null indices yields
+            # null slots for ANY type — no per-kind buffer surgery needed
+            idx = np.zeros(n, dtype=np.int64)
+            if valid is not None:
+                idx[valid] = np.arange(m)
+                mask = ~valid
+            else:  # all-null page
+                mask = np.ones(n, dtype=bool)
+            values = values.take(pa.array(idx, mask=mask))
+        return values, p
+
     values = _decode_values(code, kind, enc, codec, m, fsst_table)
 
     if kind == "list":

@@ -25,6 +25,7 @@ from .stats import BatchStats
 
 # codec ids shared with blob.py
 PLAIN, DICT, RLE_FOR, DELTA, DELTA_BYTE_ARRAY, FSST, CONSTANT, BITMAP, BSS, LIST_F = range(10)
+NESTED = 10  # recursive container (list/struct/map/decimal/fixed-binary)
 CODEC_NAMES = {
     PLAIN: "plain",
     DICT: "dict",
@@ -36,6 +37,7 @@ CODEC_NAMES = {
     BITMAP: "bitmap",
     BSS: "byte_stream_split",
     LIST_F: "list_floats",
+    NESTED: "nested",
 }
 
 
@@ -72,6 +74,10 @@ def shortlist(st: BatchStats, kind: str, is_float: bool, cfg: SelectorConfig = D
         return [BITMAP]
     if kind == "list":
         return [LIST_F]
+    if kind == "nested":
+        # containers recurse: the child pages run their own selection,
+        # the container itself is pure structure (offsets/fields)
+        return [NESTED]
     if m == 0:
         return [PLAIN]
     if st.ndv == 1:
@@ -108,6 +114,7 @@ ENCODE_COST_RANK = {
     BITMAP: 0,
     PLAIN: 1,
     LIST_F: 1,
+    NESTED: 1,
     BSS: 1,
     DICT: 2,
     RLE_FOR: 2,

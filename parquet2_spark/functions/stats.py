@@ -53,6 +53,20 @@ def compute(arr: pa.Array, full: bool = True) -> BatchStats:
         st.ndv = m
         st.run_count = m
         return st
+    t = vals.type
+    if (
+        pa.types.is_struct(t)
+        or pa.types.is_map(t)
+        or pa.types.is_decimal(t)
+        or pa.types.is_fixed_size_binary(t)
+    ):
+        # containers/decimal: sizes only — min/max ordering is either
+        # undefined (struct/map) or needs scale context (decimal), and the
+        # nested codec recurses so the selector never ranks these directly
+        st.raw_bytes = int(vals.nbytes)
+        st.ndv = m
+        st.run_count = m
+        return st
 
     if full:
         st.ndv = len(pc.unique(vals))

@@ -23,40 +23,11 @@ from pyspark.sql import functions as F
 
 from .. import blob
 
-_PA_TYPE = {
-    "string": "string",
-    "binary": "binary",
-    "timestamp": "timestamp[us]",
-    "bigint": "int64",
-    "int": "int32",
-    "double": "float64",
-    "float": "float32",
-    "boolean": "bool",
-    "date": "date32[day]",
-    "smallint": "int16",
-    "tinyint": "int8",
-}
-
-_PA_LIST = {
-    "array<float>": "list<item: float>",
-    "array<double>": "list<item: double>",
-}
-
-_SPARK_TYPE = {
-    "string": "string",
-    "binary": "binary",
-    "timestamp": "timestamp",
-    "bigint": "long",
-    "int": "int",
-    "double": "double",
-    "float": "float",
-    "boolean": "boolean",
-    "date": "date",
-    "smallint": "short",
-    "tinyint": "byte",
-    "array<float>": "array<float>",
-    "array<double>": "array<double>",
-}
+# Lineage stores df.dtypes simpleStrings, which are valid Spark DDL for
+# the whole type lattice ("bigint", "array<string>", "struct<a:int>",
+# "map<string,bigint>", "decimal(12,2)") — they pass straight through to
+# applyInArrow output schemas and .cast(); pyarrow expectations come from
+# schema.ddl_to_pa_types (recursive, driver-side).
 
 
 def lineage(snapshot_dir: str, as_of: int | None = None) -> dict:
@@ -217,6 +188,7 @@ def decode(
     key_range: tuple | None = None,
     as_of: int | None = None,
     key_eq: tuple | None = None,
+    row_range: tuple | None = None,
 ) -> DataFrame:
     """Reassemble original rows from a snapshot — or a multi-snapshot
     table dir (``as_of`` time-travels to that snapshot id).
@@ -236,11 +208,35 @@ def decode(
     lin = lineage(snapshot_dir, as_of)
     cols = columns or lin["columns"]
     schema_map = lin["schema"]
+
+    # ``row_range=(start, stop)`` — the §3.3 row-interval read (reference
+    # compute_rows/select_pages/SliceFilteredIter): partitions outside the
+    # interval are pruned driver-side from lineage row counts (metadata
+    # only), surviving partitions decode just their overlapping pages
+    # executor-side via the page offset index. Row position is defined by
+    # (part_id asc, row-in-partition) — the encode job's write order.
+    row_spans = None
+    if row_range is not None:
+        if key_range is not None or key_eq is not None:
+            raise ValueError("row_range cannot combine with key_range/key_eq")
+        if "partitions" not in lin:
+            raise ValueError("row_range requires a single-snapshot dir (not a table)")
+        start, stop = int(row_range[0]), int(row_range[1])
+        row_spans = {}
+        base = 0
+        for p in sorted(lin["partitions"], key=lambda x: x["part_id"]):
+            lo = max(start - base, 0)
+            hi = min(stop - base, p["rows"])
+            if lo < hi:
+                row_spans[int(p["part_id"])] = (lo, hi)
+            base += p["rows"]
     unknown = [c for c in cols if c not in schema_map]
     if unknown:
         raise KeyError(f"columns not in snapshot schema: {unknown} (have {sorted(schema_map)})")
 
     df = chunks_df(spark, snapshot_dir, as_of)
+    if row_spans is not None:
+        df = df.filter(F.col("part_id").isin(list(row_spans)) if row_spans else F.lit(False))
     key_col = key_range[0] if key_range else None
     if key_range:
         _, lo, hi = key_range
@@ -253,7 +249,7 @@ def decode(
         # the column at encode time
         hv = int(
             spark.range(1)
-            .select(F.xxhash64(F.lit(eq_val).cast(_SPARK_TYPE[schema_map[eq_col]])))
+            .select(F.xxhash64(F.lit(eq_val).cast(schema_map[eq_col])))
             .first()[0]
         )
 
@@ -284,8 +280,13 @@ def decode(
         "part_id", "column", "payload", "page_mins", "page_maxs", "page_rows"
     )
 
-    out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[schema_map[c]]}" for c in need)
+    out_schema = ", ".join(f"`{c}` {schema_map[c]}" for c in need)
     session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
+    # the exact arrow types Spark expects back (tz-aware timestamps, also
+    # nested inside struct/list/map) — computed driver-side, pickled in
+    from ..schema import ddl_to_pa_types
+
+    expected_pa = ddl_to_pa_types(spark, schema_map, need, ts_tz=session_tz)
     # page zone maps store _jstat units (micros/days; bytes as utf-8 text)
     # — normalize the bounds once so the page compare is unit-correct
     def _page_bound(v):
@@ -321,9 +322,18 @@ def decode(
                 if (hi is None or mn <= hi) and (lo is None or mx >= lo):
                     page_keep.add(i)
 
+        span = None
+        if row_spans is not None:
+            pid = int(tbl.column("part_id")[0].as_py())
+            span = row_spans[pid]
+
         arrays = {}
         for name, payload in zip(names, payloads):
-            if page_keep is None:
+            if span is not None:
+                # page offset index selects overlapping pages; residual
+                # slice applied per page — never decodes outside the span
+                arrays[name] = blob.decode_chunk_rows(payload, span[0], span[1] - span[0])
+            elif page_keep is None:
                 arrays[name] = blob.decode_chunk(payload)
             else:
                 parts = [
@@ -339,29 +349,20 @@ def decode(
                     arrays[name] = blob.concat_pages(parts)
         if any(a is None for a in arrays.values()):
             # all pages pruned → typed 0-row table
-            arrays = {
-                c: pa.array(
-                    [],
-                    type=(
-                        pa.list_(pa.float32())
-                        if schema_map[c] == "array<float>"
-                        else pa.list_(pa.float64())
-                        if schema_map[c] == "array<double>"
-                        else pa.type_for_alias(_PA_TYPE[schema_map[c]])
-                    ),
-                )
-                for c in need
-            }
+            arrays = {c: pa.array([], type=expected_pa[c]) for c in need}
         n = len(next(iter(arrays.values()))) if arrays else 0
         cols = []
         for c in need:
             a = arrays[c]
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
             if len(a) != n:
                 raise ValueError(f"column {c} row mismatch {len(a)} != {n}")
-            if pa.types.is_timestamp(a.type) and a.type.tz is None:
-                # blob stores UTC-epoch micros; Spark's Arrow schema wants
-                # tz-aware — assume_timezone is value-preserving
-                a = pc.assume_timezone(a, "UTC").cast(pa.timestamp("us", tz=session_tz))
+            if not a.type.equals(expected_pa[c]):
+                # recursive, storage-preserving: naive→tz-aware timestamps
+                # (assumed UTC, matching blob's epoch-micros storage),
+                # large_string→string, nested children included
+                a = a.cast(expected_pa[c])
             cols.append(a)
         return pa.table(dict(zip(need, cols)))
 
@@ -369,4 +370,25 @@ def decode(
     # the key column rides along for pruning; drop it unless requested
     if key_eq is not None:
         out = out.filter(F.col(key_eq[0]) == F.lit(key_eq[1]))
+    if key_range is not None:
+        # residual row filter: zone maps prune at chunk/page granularity,
+        # this makes the result exact (not a page-aligned superset)
+        _, lo, hi = key_range
+        ddl = schema_map[key_col]
+
+        def _bound(v):
+            # ints against timestamp/date columns mean micros/days (the
+            # zone-map storage units) — type the literal to match
+            if isinstance(v, bool) or not isinstance(v, int):
+                return F.lit(v)
+            if ddl == "timestamp":
+                return F.timestamp_micros(F.lit(v))
+            if ddl == "date":
+                return F.date_from_unix_date(F.lit(v))
+            return F.lit(v)
+
+        if lo is not None:
+            out = out.filter(F.col(key_col) >= _bound(lo))
+        if hi is not None:
+            out = out.filter(F.col(key_col) <= _bound(hi))
     return out.select(*cols)

@@ -178,25 +178,12 @@ def _stat_cols(meta: blob.ChunkMeta):
             return (v - _dt.date(1970, 1, 1)).days
         if isinstance(v, float):
             return None  # float stats go to the dbl zone map, not num
+        import decimal as _decimal
+
+        if isinstance(v, _decimal.Decimal):
+            return None  # unscaled compare needs scale context — skip
         return int(v)
     return None, None, as_num(mn), as_num(mx)
-
-
-_SPARK_TO_PA = {
-    "string": pa.string(),
-    "binary": pa.binary(),
-    "timestamp": pa.timestamp("us"),
-    "bigint": pa.int64(),
-    "int": pa.int32(),
-    "smallint": pa.int16(),
-    "tinyint": pa.int8(),
-    "double": pa.float64(),
-    "float": pa.float32(),
-    "boolean": pa.bool_(),
-    "date": pa.date32(),
-    "array<float>": pa.list_(pa.float32()),
-    "array<double>": pa.list_(pa.float64()),
-}
 
 
 def _encode_partition_arrow(
@@ -204,7 +191,7 @@ def _encode_partition_arrow(
     cfg: EncodeConfig,
     snapshot_dir: str,
     columns: list[str],
-    dtypes: dict[str, str],
+    target_schema: pa.Schema,
 ) -> pa.Table:
     """Pure-Arrow partition encoder: no pandas objects are ever
     materialized (the pandas round-trip costs allocation storms that
@@ -218,8 +205,7 @@ def _encode_partition_arrow(
         order = pc.sort_indices(in_table, sort_keys=[(cfg.sort_by, "ascending")])
         in_table = in_table.take(order)
     # keep original column order/types; _part_id and helpers drop out here
-    schema = pa.schema([(c, _SPARK_TO_PA[dtypes[c]]) for c in columns])
-    table = in_table.select(columns).cast(schema)
+    table = in_table.select(columns).cast(target_schema)
 
     rows = []
     n = table.num_rows
@@ -354,7 +340,11 @@ def encode(
     ``_lineage.json`` sidecar)."""
     cfg = cfg or EncodeConfig()
     columns = df.columns
-    dtypes = dict(df.dtypes)
+    # driver-side Spark→Arrow schema (recursive: nested/decimal included);
+    # the picklable pa.Schema ships to executors, never Spark type objects
+    from ..schema import df_to_pa_schema
+
+    target_schema = df_to_pa_schema(df)
     t0 = time.time()
 
     planned, n_parts = plan_partitions(df, cfg)
@@ -370,7 +360,7 @@ def encode(
         planned = planned.filter(~F.col("_part_id").isin([int(p) for p in already]))
 
     def run(tbl: pa.Table) -> pa.Table:
-        return _encode_partition_arrow(tbl, cfg, snapshot_dir, columns, dtypes)
+        return _encode_partition_arrow(tbl, cfg, snapshot_dir, columns, target_schema)
 
     metrics_df = planned.groupBy("_part_id").applyInArrow(run, CHUNK_SCHEMA)
     # the action that executes the job; metrics come back small
