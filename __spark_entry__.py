@@ -67,6 +67,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         li = _t(spark, sf_dir, "lineitem")
         return bucket_stats(li, F.pmod(F.col("l_orderkey"), F.lit(8)), "l_shipdate", "timestamp")
 
+    def chunk_stats_price(spark, sf_dir):
+        """Chunk statistics on a DOUBLE column (float zone maps — the
+        reference keeps PrimitiveStatistics<f64>, statistics/primitive.rs):
+        per-bucket min/max/null-count via the engine's partial→final
+        stats reduce. Min/max select actual values (no arithmetic), so
+        the doubles compare bit-exact against the oracle."""
+        from parquet2_spark.operators.stats_query import bucket_stats
+
+        li = _t(spark, sf_dir, "lineitem")
+        return bucket_stats(
+            li, F.pmod(F.col("l_orderkey"), F.lit(8)), "l_extendedprice", "double"
+        )
+
     def dedup_exact_docs(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
         return docs.groupBy(F.md5(F.col("text").cast("binary")).alias("digest")).agg(
@@ -569,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_small_types": rt_small_types,
         # stats / pruning / bloom (SURVEY §2.D/§2.E parity)
         "chunk_stats_shipdate": chunk_stats_shipdate,
+        "chunk_stats_price": chunk_stats_price,
         "bloom_probe_docs": bloom_probe_docs,
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "minhash_exact_dup_agreement": minhash_exact_dup_agreement,
@@ -685,6 +699,12 @@ GROUP BY lang
             "SELECT l_orderkey % 8 AS bucket, count(*) AS n_rows, "
             "count(*) - count(l_shipdate) AS null_count, "
             "min(l_shipdate) AS min_v, max(l_shipdate) AS max_v "
+            "FROM lineitem GROUP BY l_orderkey % 8"
+        ),
+        "chunk_stats_price": (
+            "SELECT l_orderkey % 8 AS bucket, count(*) AS n_rows, "
+            "count(*) - count(l_extendedprice) AS null_count, "
+            "min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v "
             "FROM lineitem GROUP BY l_orderkey % 8"
         ),
         "bloom_probe_docs": "SELECT doc_id, TRUE AS might_contain FROM documents",

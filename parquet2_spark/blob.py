@@ -713,7 +713,12 @@ def encode_chunk(
         page_maxs=[m.max for m in metas],
         min=min(mins) if mins else None,
         max=max(maxs) if maxs else None,
-        ndv_hint=max((m.ndv for m in metas), default=0),
+        # pages encode with the chunk's forced codec (light stats, ndv=0);
+        # the probe page carried full stats — its ndv is the hint
+        ndv_hint=max(
+            max((m.ndv for m in metas), default=0),
+            probe_stats.ndv if probe_stats is not None else 0,
+        ),
     )
     return payload, meta
 

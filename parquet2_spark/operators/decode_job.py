@@ -104,6 +104,9 @@ def stats(spark: SparkSession, snapshot_dir: str) -> DataFrame:
             F.max("max_num").alias("max_num"),
             F.min("min_bin").alias("min_bin"),
             F.max("max_bin").alias("max_bin"),
+            F.min("min_dbl").alias("min_dbl"),
+            F.max("max_dbl").alias("max_dbl"),
+            F.max("ndv").alias("ndv_hint"),
         )
         .orderBy("column", "codecs")
     )
@@ -142,13 +145,26 @@ def prune_by_range(df: DataFrame, column: str, lo=None, hi=None) -> DataFrame:
                 (F.col("column") != column) | F.col("min_bin").isNull() | (F.col("min_bin") <= F.lit(hi))
             )
     else:
+        # numeric: consult the int zone map AND the float zone map
+        # (coalesce: first stat that exists decides; neither → keep).
+        # Spark coerces bigint-vs-double compares, so a float bound prunes
+        # int chunks and vice versa.
+        has_dbl = "max_dbl" in out.columns
+
+        def _keep(stat_num, stat_dbl, op):
+            num = op(F.col(stat_num))
+            dbl = op(F.col(stat_dbl)) if has_dbl else F.lit(None).cast("boolean")
+            return F.coalesce(num, dbl, F.lit(True))
+
         if lo is not None:
             out = out.filter(
-                (F.col("column") != column) | F.col("max_num").isNull() | (F.col("max_num") >= F.lit(lo))
+                (F.col("column") != column)
+                | _keep("max_num", "max_dbl", lambda c: c >= F.lit(lo))
             )
         if hi is not None:
             out = out.filter(
-                (F.col("column") != column) | F.col("min_num").isNull() | (F.col("min_num") <= F.lit(hi))
+                (F.col("column") != column)
+                | _keep("min_num", "min_dbl", lambda c: c <= F.lit(hi))
             )
     return out
 

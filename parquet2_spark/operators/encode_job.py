@@ -47,6 +47,7 @@ CHUNK_SCHEMA = (
     "part_id long, column string, type_code int, n_rows long, null_count long, "
     "n_pages int, codecs string, outers string, raw_bytes long, enc_bytes long, "
     "min_bin binary, max_bin binary, min_num long, max_num long, "
+    "min_dbl double, max_dbl double, ndv long, "
     "page_rows string, wall_s double"
 )
 
@@ -66,6 +67,9 @@ METRICS_PA_SCHEMA = pa.schema(
         ("max_bin", pa.binary()),
         ("min_num", pa.int64()),
         ("max_num", pa.int64()),
+        ("min_dbl", pa.float64()),
+        ("max_dbl", pa.float64()),
+        ("ndv", pa.int64()),
         ("page_rows", pa.string()),
         ("wall_s", pa.float64()),
     ]
@@ -87,6 +91,12 @@ CHUNK_PA_SCHEMA = pa.schema(
         ("max_bin", pa.binary()),
         ("min_num", pa.int64()),
         ("max_num", pa.int64()),
+        # float zone maps (reference keeps PrimitiveStatistics<f32/f64>,
+        # src/statistics/primitive.rs:11-17) + persisted distinct-count
+        # hint (reference statistics carry it, src/statistics/mod.rs:20-26)
+        ("min_dbl", pa.float64()),
+        ("max_dbl", pa.float64()),
+        ("ndv", pa.int64()),
         ("page_rows", pa.string()),
         ("page_mins", pa.string()),
         ("page_maxs", pa.string()),
@@ -123,7 +133,16 @@ def plan_partitions(df: DataFrame, cfg: EncodeConfig) -> tuple[DataFrame, int]:
     Two light aggregation passes (host counts; total), both map-side
     combinable — at 100 TB these reduce to one small shuffle each, and the
     hot-host table is broadcast, never shuffled with the data.
+
+    ``cfg.shuffle=False`` keeps the input partitioning verbatim (zero
+    extra passes): the caller already laid the data out — e.g.
+    ``repartitionByRange`` on the zone-map key, which gives disjoint
+    per-partition min/max and maximal range pruning at read time.
     """
+    if not cfg.shuffle:
+        n_parts = df.rdd.getNumPartitions()
+        return df.withColumn("_part_id", F.spark_partition_id().cast("long")), n_parts
+
     host = _host_col(cfg.key) if cfg.host_from_key else F.col(cfg.key)
     with_host = df.withColumn("_host", host)
 
@@ -162,10 +181,21 @@ def plan_partitions(df: DataFrame, cfg: EncodeConfig) -> tuple[DataFrame, int]:
 
 
 def _stat_cols(meta: blob.ChunkMeta):
-    """(min_bin, max_bin, min_num, max_num) from typed chunk min/max."""
+    """(min_bin, max_bin, min_num, max_num, min_dbl, max_dbl) from typed
+    chunk min/max — floats get their own bit-faithful dbl zone map."""
     mn, mx = meta.min, meta.max
     if isinstance(mn, (bytes, bytearray)) or isinstance(mx, (bytes, bytearray)):
-        return bytes(mn) if mn is not None else None, bytes(mx) if mx is not None else None, None, None
+        return (
+            bytes(mn) if mn is not None else None,
+            bytes(mx) if mx is not None else None,
+            None, None, None, None,
+        )
+    if isinstance(mn, float) or isinstance(mx, float):
+        def as_dbl(v):
+            if v is None or (isinstance(v, float) and v != v):  # NaN → no stat
+                return None
+            return float(v)
+        return None, None, None, None, as_dbl(mn), as_dbl(mx)
     def as_num(v):
         if v is None:
             return None
@@ -183,7 +213,7 @@ def _stat_cols(meta: blob.ChunkMeta):
         if isinstance(v, _decimal.Decimal):
             return None  # unscaled compare needs scale context — skip
         return int(v)
-    return None, None, as_num(mn), as_num(mx)
+    return None, None, as_num(mn), as_num(mx), None, None
 
 
 def _encode_partition_arrow(
@@ -215,7 +245,7 @@ def _encode_partition_arrow(
         arr = arr.combine_chunks() if arr.num_chunks != 1 else arr.chunk(0)
         pages = [arr.slice(s, ln) for s, ln in page_slices] if n else [arr]
         payload, meta = blob.encode_chunk(pages, cfg.selector)
-        min_bin, max_bin, min_num, max_num = _stat_cols(meta)
+        min_bin, max_bin, min_num, max_num, min_dbl, max_dbl = _stat_cols(meta)
         bloom_bytes = None
         if col in cfg.bloom_columns and n:
             # hashes were computed JVM-side (xxhash64) before the shuffle;
@@ -245,6 +275,9 @@ def _encode_partition_arrow(
                 "max_bin": max_bin,
                 "min_num": min_num,
                 "max_num": max_num,
+                "min_dbl": min_dbl,
+                "max_dbl": max_dbl,
+                "ndv": int(meta.ndv_hint),
                 "page_rows": json.dumps(meta.page_rows),
                 "page_mins": json.dumps([_jstat(v) for v in meta.page_mins]),
                 "page_maxs": json.dumps([_jstat(v) for v in meta.page_maxs]),

@@ -114,7 +114,7 @@ class TestDateStats:
             n_pages=1, codecs=["plain"], outers=[],
             min=dt.date(2020, 1, 1), max=dt.date(2021, 6, 15),
         )
-        _, _, lo, hi = _stat_cols(meta)
+        _, _, lo, hi, _, _ = _stat_cols(meta)
         assert lo == (dt.date(2020, 1, 1) - dt.date(1970, 1, 1)).days
         assert hi == (dt.date(2021, 6, 15) - dt.date(1970, 1, 1)).days
 

@@ -1,0 +1,68 @@
+"""Float zone maps + persisted ndv (reference PrimitiveStatistics<f32/f64>,
+src/statistics/primitive.rs:11-17; distinct_count src/statistics/mod.rs:20-26)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet2_spark.operators import decode_job
+from parquet2_spark.operators.encode_job import EncodeConfig, encode
+
+
+@pytest.fixture(scope="module")
+def float_snap(spark, tmp_path_factory):
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        (F.col("id").cast("double") / 7.0).alias("score"),
+        (F.col("id") % 100).cast("float").alias("score32"),
+    )
+    d = str(tmp_path_factory.mktemp("snap_fl"))
+    # range-partitioned input + shuffle=False → disjoint per-partition
+    # zone maps (a salted shuffle would spread every range everywhere)
+    encode(spark, df.repartitionByRange(4, "k"), d,
+           EncodeConfig(target_rows=1000, page_rows=250, sort_by="k", key="k",
+                        host_from_key=False, shuffle=False))
+    return d
+
+
+def test_float_zone_maps_stored(spark, float_snap):
+    st = {r["column"]: r for r in decode_job.stats(spark, float_snap).collect()}
+    assert st["score"]["min_dbl"] == 0.0
+    assert st["score"]["max_dbl"] == pytest.approx(3999 / 7.0)
+    assert st["score"]["min_num"] is None
+    assert st["score32"]["max_dbl"] == 99.0  # float32 exact in float64
+    assert st["k"]["min_num"] == 0 and st["k"]["max_num"] == 3999
+    assert st["k"]["ndv_hint"] > 0  # persisted distinct-count hint
+
+
+def test_float_key_range_prunes_and_exact(spark, float_snap):
+    chunks = decode_job.chunks_df(spark, float_snap)
+    total_parts = chunks.select("part_id").distinct().count()
+    # range entirely inside the first quarter of sorted values
+    lo, hi = 10.0, 140.0
+    keyed = decode_job.prune_by_range(
+        chunks.filter(F.col("column") == "score"), "score", lo, hi
+    )
+    kept_parts = keyed.select("part_id").distinct().count()
+    assert 0 < kept_parts < total_parts  # chunks actually skipped
+
+    out = decode_job.decode(spark, float_snap, key_range=("score", lo, hi))
+    ks = sorted(r["k"] for r in out.collect())
+    want = [i for i in range(4000) if lo <= i / 7.0 <= hi]
+    assert ks == want  # exact (residual filter), not a page superset
+
+
+def test_float32_key_range_exact(spark, float_snap):
+    out = decode_job.decode(spark, float_snap, key_range=("score32", 5.0, 6.0))
+    got = {(r["k"], r["score32"]) for r in out.collect()}
+    assert got == {(i, float(i % 100)) for i in range(4000) if 5 <= i % 100 <= 6}
+
+
+def test_int_bounds_on_float_column_and_vice_versa(spark, float_snap):
+    # int bounds against the double zone map (coercion) — still exact
+    out = decode_job.decode(spark, float_snap, key_range=("score", 0, 10))
+    assert out.count() == len([i for i in range(4000) if i / 7.0 <= 10])
+    # float bounds against the int column
+    out2 = decode_job.decode(spark, float_snap, key_range=("k", 0.5, 9.5))
+    assert sorted(r["k"] for r in out2.collect()) == list(range(1, 10))
