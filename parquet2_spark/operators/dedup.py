@@ -140,17 +140,34 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    bucket_cap: int = 4096,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via banded LSH: explode signatures
-    into (band, bucket) keys, self-join on the key — shuffle is
-    bands×rows, and estimated jaccard is re-checked from full signatures."""
+    """Candidate near-duplicate pairs via banded LSH.
+
+    Scale shape (the 100 TB dedup hot path):
+    - the band self-join ships only (id, band, bucket, shard) — signatures
+      never enter the join shuffle; they are re-joined onto the deduped
+      (id_a, id_b) pairs afterwards
+    - candidate dedup happens on bare id pairs (16 bytes/row), not on
+      signature arrays
+    - hot buckets (boilerplate shards, empty pages) are salt-split so one
+      degenerate (band, bucket) never goes quadratic: buckets over
+      ``bucket_cap`` rows split into ceil(n/cap) shards by xxhash64(id).
+      The shard hash is deliberately band-independent: for a mega-cluster
+      of near-identical docs this caps the OUTPUT at ~all-pairs/shards
+      (the same pair sample in every band) instead of re-accumulating the
+      quadratic across bands. Pairs of distinct text live in small
+      buckets and are never salted, so their recall is untouched; run
+      ``dedup.exact`` first to remove byte-identical mega-clusters.
+    """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).filter(
-        F.col("signature").isNotNull()
+    sigs = (
+        minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+        .filter(F.col("signature").isNotNull())
+        .persist()  # reused: banding pass + final signature re-join
     )
     banded = sigs.select(
         id_col,
-        "signature",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -159,25 +176,44 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band", "bucket"),
-    ).persist()  # both sides of the self-join reuse the signature UDF pass
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band", "bucket"
     )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"), "band", "bucket"
+    # hot-bucket census: map-side-combinable count, tiny result, broadcast
+    hot = (
+        banded.groupBy("band", "bucket")
+        .count()
+        .filter(F.col("count") > bucket_cap)
+        .select("band", "bucket", F.ceil(F.col("count") / bucket_cap).cast("int").alias("_shards"))
     )
+    sharded = (
+        banded.join(F.broadcast(hot), ["band", "bucket"], "left")
+        .withColumn(
+            "_shard",
+            F.when(
+                F.col("_shards").isNotNull(),
+                F.pmod(F.xxhash64(F.col(id_col)), F.col("_shards")),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_shards")
+    )
+    left = sharded.select(F.col(id_col).alias("id_a"), "band", "bucket", "_shard")
+    right = sharded.select(F.col(id_col).alias("id_b"), "band", "bucket", "_shard")
     pairs = (
-        left.join(right, ["band", "bucket"])
+        left.join(right, ["band", "bucket", "_shard"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, x: acc + x,
     ) / F.lit(num_hashes)
-    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+    )
 
 
 def simhash_signatures(
@@ -250,46 +286,80 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     n_planes: int = 12,
+    n_tables: int = 4,
+    bucket_cap: int = 4096,
 ) -> DataFrame:
-    """Near-duplicate vectors: random-hyperplane bucket (deterministic
-    seed) → exact cosine inside buckets only."""
-    dim_df = df.select(F.size(vec_col).alias("d")).first()
-    dim = dim_df["d"]
+    """Near-duplicate vectors via multi-table random-hyperplane LSH →
+    exact cosine on candidate pairs only.
+
+    Scale shape (same discipline as minhash_lsh_pairs):
+    - ``n_tables`` independent hash tables: a near-dup pair missed by one
+      table's bucketing is caught by another (single-table recall caps at
+      the per-table collision probability)
+    - the bucket self-join ships only (id, table, bucket, shard) — the
+      ~KB-sized vectors are re-joined onto the deduped id pairs after
+    - buckets over ``bucket_cap`` rows are salt-split by xxhash64(id)
+      (table-independent, so a dense region's output is capped at
+      ~all-pairs/shards rather than re-accumulating across tables) — one
+      dense region never goes quadratic in task size or output
+    """
+    dim = df.select(F.size(vec_col).alias("d")).first()["d"]
     rng = np.random.default_rng(12345)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = rng.standard_normal((n_tables, n_planes, dim))
 
-    @F.pandas_udf("long")
-    def bucket(s: pd.Series) -> pd.Series:
+    @F.pandas_udf("array<long>")
+    def buckets(s: pd.Series) -> pd.Series:
         mat = np.stack(s.to_numpy())  # (n, dim)
-        bits = (mat @ planes.T) > 0
-        if n_planes > 32:
-            # packbits yields ceil(n_planes/8) bytes/row — pad to 8 so the
-            # uint64 reinterpret is valid for every 32 < n_planes <= 64
-            packed = np.packbits(bits, axis=1, bitorder="little")
-            if packed.shape[1] < 8:
-                packed = np.pad(packed, ((0, 0), (0, 8 - packed.shape[1])))
-            key = np.ascontiguousarray(packed[:, :8]).view(np.uint64)[:, 0].astype(np.int64)
-        else:
-            key = (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
-        return pd.Series(key)
+        keys = np.empty((len(mat), n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            bits = (mat @ planes[t].T) > 0
+            if n_planes > 32:
+                # packbits yields ceil(n_planes/8) bytes/row — pad to 8 so
+                # the uint64 reinterpret is valid for 32 < n_planes <= 64
+                packed = np.packbits(bits, axis=1, bitorder="little")
+                if packed.shape[1] < 8:
+                    packed = np.pad(packed, ((0, 0), (0, 8 - packed.shape[1])))
+                keys[:, t] = (
+                    np.ascontiguousarray(packed[:, :8]).view(np.uint64)[:, 0].astype(np.int64)
+                )
+            else:
+                keys[:, t] = (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+        return pd.Series(list(keys))
 
+    keyed = df.select(id_col, F.posexplode(buckets(F.col(vec_col))).alias("_table", "_bucket"))
+    hot = (
+        keyed.groupBy("_table", "_bucket")
+        .count()
+        .filter(F.col("count") > bucket_cap)
+        .select(
+            "_table", "_bucket", F.ceil(F.col("count") / bucket_cap).cast("int").alias("_shards")
+        )
+    )
+    sharded = (
+        keyed.join(F.broadcast(hot), ["_table", "_bucket"], "left")
+        .withColumn(
+            "_shard",
+            F.when(
+                F.col("_shards").isNotNull(),
+                F.pmod(F.xxhash64(F.col(id_col)), F.col("_shards")),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_shards")
+    )
+    left = sharded.select(F.col(id_col).alias("id_a"), "_table", "_bucket", "_shard")
+    right = sharded.select(F.col(id_col).alias("id_b"), "_table", "_bucket", "_shard")
+    pairs = (
+        left.join(right, ["_table", "_bucket", "_shard"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
-    b = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        bucket(F.col(vec_col)).alias("_bucket"),
-        norm.alias("_norm"),
-    )
-    left = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "_bucket", F.col("_norm").alias("n_a")
-    )
-    right = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "_bucket", F.col("_norm").alias("n_b")
-    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), norm.alias("n_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), norm.alias("n_b"))
     dot = F.aggregate(F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
     return (
-        left.join(right, "_bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.join(va, "id_a").join(vb, "id_b")
         .select("id_a", "id_b", (dot / (F.col("n_a") * F.col("n_b"))).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

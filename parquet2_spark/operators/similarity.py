@@ -63,6 +63,46 @@ def _coarse_centroids(dim: int, n_buckets: int, seed: int = 777) -> np.ndarray:
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
+def train_centroids(
+    data: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_buckets: int = 16,
+    iters: int = 5,
+    sample_cap: int = 4096,
+    seed: int = 777,
+) -> np.ndarray:
+    """Deterministic spherical k-means on a bounded sample — the coarse
+    quantizer real IVF indexes train (random projections ignore the data
+    distribution, so clustered embeddings all land in few buckets and
+    partial-probe recall sags).
+
+    The sample is the ``sample_cap`` rows with the smallest
+    xxhash64(id) — a seeded pseudo-random draw that is deterministic
+    regardless of partitioning and runs as TakeOrdered (top-n per
+    partition + merge), one pass, no full sort, no count."""
+    rows = (
+        data.select(F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), size=min(n_buckets, len(X)), replace=False)].copy()
+    if len(cents) < n_buckets:  # degenerate tiny input: pad with random
+        cents = np.vstack([cents, _coarse_centroids(X.shape[1], n_buckets - len(cents), seed)])
+    for _ in range(iters):
+        assign = (X @ cents.T).argmax(axis=1)
+        for j in range(n_buckets):
+            members = X[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+        cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    return cents
+
+
 def ivf_topk(
     data: DataFrame,
     queries: DataFrame,
@@ -72,12 +112,20 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     qid_col: str = "query_id",
+    train_iters: int = 5,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k: assign every vector to its nearest
-    deterministic centroid; a query scans only its ``n_probe`` nearest
-    buckets. Returns the same schema as brute_force_topk."""
+    centroid (k-means-trained on a seeded sample by default;
+    ``train_iters=0`` falls back to seeded random projections); a query
+    scans only its ``n_probe`` nearest buckets. Returns the same schema
+    as brute_force_topk."""
     dim = data.select(F.size(vec_col).alias("d")).first()["d"]
-    cents = _coarse_centroids(dim, n_buckets)
+    if train_iters > 0:
+        cents = train_centroids(
+            data, vec_col=vec_col, id_col=id_col, n_buckets=n_buckets, iters=train_iters
+        )
+    else:
+        cents = _coarse_centroids(dim, n_buckets)
 
     @F.pandas_udf("int")
     def assign(s: pd.Series) -> pd.Series:
