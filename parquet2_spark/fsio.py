@@ -1,0 +1,134 @@
+"""Filesystem-agnostic metadata/side-channel IO via ``pyarrow.fs``.
+
+The engine has two IO planes:
+
+- **data plane**: the chunks parquet files, read by Spark's own scan
+  (S3A/HDFS/local through Hadoop) — always addressed by URI, never
+  touched here;
+- **metadata plane**: commit markers, lineage sidecars, table manifests,
+  and the executor-side chunk-file writes. These previously used
+  ``os.*``/``open`` and silently assumed a shared POSIX filesystem; this
+  module routes them through ``pyarrow.fs.FileSystem`` so the same code
+  runs against local disk, HDFS, or S3.
+
+Atomicity model (the part rename-free object stores change):
+
+- LocalFileSystem: write to a temp name, then ``move`` (POSIX rename —
+  atomic, same as before).
+- Object stores (no atomic rename): write the final object directly. A
+  single PUT is atomic at object granularity, and *visibility* is gated
+  by the commit protocol anyway — data file first, marker second,
+  manifest last; readers trust only markers/manifests (the same ordering
+  Iceberg relies on).
+
+``pyarrow`` FileSystem objects pickle, so an explicit filesystem rides
+into executor closures via ``EncodeConfig.filesystem``.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+import uuid
+
+from pyarrow import fs as pafs
+
+
+def resolve(path: str, filesystem=None) -> tuple[pafs.FileSystem, str]:
+    """(filesystem, fs-local path). Explicit filesystem wins; else a URI
+    scheme picks the filesystem (``s3://…``, ``hdfs://…``, ``file://…``);
+    else local."""
+    if filesystem is not None:
+        return filesystem, path
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def _is_local(fs: pafs.FileSystem) -> bool:
+    if isinstance(fs, pafs.LocalFileSystem):
+        return True
+    if isinstance(fs, pafs.SubTreeFileSystem):
+        return _is_local(fs.base_fs)
+    return False
+
+
+def join(*parts: str) -> str:
+    return posixpath.join(*parts)
+
+
+def mkdirs(fs: pafs.FileSystem, path: str) -> None:
+    fs.create_dir(path, recursive=True)
+
+
+def file_type(fs: pafs.FileSystem, path: str) -> pafs.FileType:
+    return fs.get_file_info(path).type
+
+
+def exists(fs: pafs.FileSystem, path: str) -> bool:
+    return file_type(fs, path) != pafs.FileType.NotFound
+
+
+def is_dir(fs: pafs.FileSystem, path: str) -> bool:
+    return file_type(fs, path) == pafs.FileType.Directory
+
+
+def listdir(fs: pafs.FileSystem, path: str) -> list[str]:
+    infos = fs.get_file_info(pafs.FileSelector(path, allow_not_found=True))
+    return sorted(i.base_name for i in infos)
+
+
+def read_bytes(fs: pafs.FileSystem, path: str) -> bytes:
+    with fs.open_input_stream(path) as f:
+        return f.read()
+
+
+def read_json(fs: pafs.FileSystem, path: str) -> dict:
+    return json.loads(read_bytes(fs, path).decode("utf-8"))
+
+
+def write_bytes_atomic(fs: pafs.FileSystem, path: str, payload: bytes) -> None:
+    """Local: temp-name + rename. Object store: direct PUT (atomic per
+    object; visibility gated by the commit protocol, see module doc)."""
+    if _is_local(fs):
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with fs.open_output_stream(tmp) as f:
+            f.write(payload)
+        fs.move(tmp, path)
+    else:
+        with fs.open_output_stream(path) as f:
+            f.write(payload)
+
+
+def write_json_atomic(fs: pafs.FileSystem, path: str, obj: dict, indent: int | None = None) -> None:
+    write_bytes_atomic(fs, path, json.dumps(obj, indent=indent).encode("utf-8"))
+
+
+def write_parquet_atomic(
+    fs: pafs.FileSystem, path: str, table, tmp_dir: str | None = None, **kwargs
+) -> None:
+    """``tmp_dir`` must live OUTSIDE any Spark-scanned directory — Spark
+    reads every file in a scan dir as parquet, so a torn temp file in
+    place would be visible. Object stores skip staging (PUT is atomic)."""
+    import pyarrow.parquet as pq
+
+    if _is_local(fs):
+        base = posixpath.basename(path)
+        tmp = (
+            join(tmp_dir, f"{base}.tmp-{uuid.uuid4().hex[:8]}")
+            if tmp_dir
+            else f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        )
+        with fs.open_output_stream(tmp) as f:
+            pq.write_table(table, f, **kwargs)
+        fs.move(tmp, path)
+    else:
+        with fs.open_output_stream(path) as f:
+            pq.write_table(table, f, **kwargs)
+
+
+def delete_dir(fs: pafs.FileSystem, path: str) -> None:
+    try:
+        fs.delete_dir(path)
+    except FileNotFoundError:
+        pass

@@ -21,7 +21,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .. import blob
+from .. import blob, fsio
 
 # Lineage stores df.dtypes simpleStrings, which are valid Spark DDL for
 # the whole type lattice ("bigint", "array<string>", "struct<a:int>",
@@ -30,16 +30,16 @@ from .. import blob
 # schema.ddl_to_pa_types (recursive, driver-side).
 
 
-def lineage(snapshot_dir: str, as_of: int | None = None) -> dict:
+def lineage(snapshot_dir: str, as_of: int | None = None, filesystem=None) -> dict:
     """Lineage of a snapshot dir — or the merged lineage of a multi-
     snapshot table dir (see operators.table)."""
     from . import table as table_mod
 
-    if table_mod.is_table(snapshot_dir):
+    if table_mod.is_table(snapshot_dir, filesystem):
         merged: dict = {"table": snapshot_dir, "snapshots": [], "rows": 0,
                         "raw_bytes": 0, "enc_bytes": 0, "per_column": {}}
-        for sid, sdir in table_mod.snapshot_dirs(snapshot_dir, as_of):
-            lin = lineage(sdir)
+        for sid, sdir in table_mod.snapshot_dirs(snapshot_dir, as_of, filesystem):
+            lin = lineage(sdir, filesystem=filesystem)
             merged["snapshots"].append({"id": sid, "dir": sdir, "rows": lin["rows"]})
             merged["rows"] += lin["rows"]
             merged["raw_bytes"] += lin["raw_bytes"]
@@ -55,8 +55,8 @@ def lineage(snapshot_dir: str, as_of: int | None = None) -> dict:
                 agg["n_rows"] += v["n_rows"]
                 agg["codecs"] = sorted(set(agg["codecs"]) | set(v["codecs"]))
         return merged
-    with open(os.path.join(snapshot_dir, "_lineage.json")) as f:
-        return json.load(f)
+    fs, root = fsio.resolve(snapshot_dir, filesystem)
+    return fsio.read_json(fs, fsio.join(root, "_lineage.json"))
 
 
 def chunks_df(spark: SparkSession, snapshot_dir: str, as_of: int | None = None) -> DataFrame:
@@ -169,26 +169,27 @@ def prune_by_range(df: DataFrame, column: str, lo=None, hi=None) -> DataFrame:
     return out
 
 
-def check_integrity(snapshot_dir: str, as_of: int | None = None) -> None:
+def check_integrity(snapshot_dir: str, as_of: int | None = None, filesystem=None) -> None:
     """Every commit marker must have its data file (a marker without its
     file means a torn snapshot — fail loudly instead of decoding a
     silently-partial table)."""
     from . import table as table_mod
 
-    if table_mod.is_table(snapshot_dir):
-        for _, sdir in table_mod.snapshot_dirs(snapshot_dir, as_of):
-            check_integrity(sdir)
+    if table_mod.is_table(snapshot_dir, filesystem):
+        for _, sdir in table_mod.snapshot_dirs(snapshot_dir, as_of, filesystem):
+            check_integrity(sdir, filesystem=filesystem)
         return
-    commits = os.path.join(snapshot_dir, "_commits")
-    chunks = os.path.join(snapshot_dir, "chunks")
-    if not os.path.isdir(commits):
+    fs, root = fsio.resolve(snapshot_dir, filesystem)
+    commits = fsio.join(root, "_commits")
+    chunks = fsio.join(root, "chunks")
+    if not fsio.is_dir(fs, commits):
         return
     missing = []
-    for fname in os.listdir(commits):
+    for fname in fsio.listdir(fs, commits):
         if not fname.endswith(".json"):
             continue
         pid = int(fname.split(".")[0])
-        if not os.path.exists(os.path.join(chunks, f"part-{pid:06d}.parquet")):
+        if not fsio.exists(fs, fsio.join(chunks, f"part-{pid:06d}.parquet")):
             missing.append(pid)
     if missing:
         raise FileNotFoundError(
@@ -205,6 +206,7 @@ def decode(
     as_of: int | None = None,
     key_eq: tuple | None = None,
     row_range: tuple | None = None,
+    filesystem=None,
 ) -> DataFrame:
     """Reassemble original rows from a snapshot — or a multi-snapshot
     table dir (``as_of`` time-travels to that snapshot id).
@@ -220,8 +222,11 @@ def decode(
     out are dropped before any payload is read; never a false negative.
     The residual equality filter is applied to the decoded rows.
     """
-    check_integrity(snapshot_dir, as_of)
-    lin = lineage(snapshot_dir, as_of)
+    # metadata plane (markers/sidecars) through pyarrow.fs; the data
+    # plane (chunks parquet) stays on Spark's own scan — pass a URI
+    # Spark's Hadoop FS understands for non-local snapshots
+    check_integrity(snapshot_dir, as_of, filesystem)
+    lin = lineage(snapshot_dir, as_of, filesystem)
     cols = columns or lin["columns"]
     schema_map = lin["schema"]
 

@@ -32,6 +32,7 @@ import os
 import time
 import uuid
 from dataclasses import dataclass, field
+from typing import Any
 
 import numpy as np
 import pyarrow as pa
@@ -40,7 +41,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .. import blob
+from .. import blob, fsio
 from ..functions.selector import SelectorConfig
 
 CHUNK_SCHEMA = (
@@ -121,6 +122,10 @@ class EncodeConfig:
     # JVM-side with xxhash64 before the shuffle; probed by decode key_eq)
     bloom_columns: tuple = ()
     bloom_fpp: float = 0.01
+    # pyarrow.fs.FileSystem for the metadata plane (markers/sidecars/chunk
+    # writes); None → resolved from the path (URI scheme or local).
+    # pyarrow filesystems pickle, so this rides into executor closures.
+    filesystem: Any = None
 
 
 def _host_col(key: str):
@@ -287,24 +292,23 @@ def _encode_partition_arrow(
         )
 
     out = pa.Table.from_pylist(rows, schema=CHUNK_PA_SCHEMA)
-    chunks_dir = os.path.join(snapshot_dir, "chunks")
-    commits_dir = os.path.join(snapshot_dir, "_commits")
-    os.makedirs(chunks_dir, exist_ok=True)
-    os.makedirs(commits_dir, exist_ok=True)
-    final = os.path.join(chunks_dir, f"part-{part_id:06d}.parquet")
-    # stage outside chunks/ — Spark scans every file in that dir as
-    # parquet, so a crash mid-write must not leave a readable torn file
-    tmp_dir = os.path.join(snapshot_dir, "_tmp")
-    os.makedirs(tmp_dir, exist_ok=True)
-    tmp = os.path.join(tmp_dir, f"part-{part_id:06d}-{uuid.uuid4().hex[:8]}")
+    # metadata-plane IO through pyarrow.fs (local/HDFS/S3 behind one API;
+    # the filesystem object pickled in via cfg — see fsio module doc for
+    # the atomicity model on rename-free object stores)
+    fs, root = fsio.resolve(snapshot_dir, cfg.filesystem)
+    chunks_dir = fsio.join(root, "chunks")
+    commits_dir = fsio.join(root, "_commits")
+    tmp_dir = fsio.join(root, "_tmp")  # staged OUTSIDE the Spark scan dir
+    for d in (chunks_dir, commits_dir, tmp_dir):
+        fsio.mkdirs(fs, d)
+    final = fsio.join(chunks_dir, f"part-{part_id:06d}.parquet")
     # our payloads are already compressed — store them raw
-    pq.write_table(out, tmp, compression="none")
-    os.replace(tmp, final)
+    fsio.write_parquet_atomic(fs, final, out, tmp_dir=tmp_dir, compression="none")
 
     wall = time.time() - t0
     marker = {
         "part_id": part_id,
-        "file": os.path.basename(final),
+        "file": f"part-{part_id:06d}.parquet",
         "rows": int(n),
         "wall_s": wall,
         "cpu_s": time.process_time() - c0,
@@ -312,10 +316,7 @@ def _encode_partition_arrow(
             {k: _jsafe(v) for k, v in r.items() if k not in ("payload", "bloom")} for r in rows
         ],
     }
-    mtmp = os.path.join(commits_dir, f"{part_id}.json.tmp-{uuid.uuid4().hex[:8]}")
-    with open(mtmp, "w") as f:
-        json.dump(marker, f)
-    os.replace(mtmp, os.path.join(commits_dir, f"{part_id}.json"))
+    fsio.write_json_atomic(fs, fsio.join(commits_dir, f"{part_id}.json"), marker)
 
     metric_rows = [
         {**{k: v for k, v in r.items() if k not in ("payload", "bloom", "page_mins", "page_maxs")}, "wall_s": wall}
@@ -351,13 +352,14 @@ def _jsafe(v):
     return v
 
 
-def committed_parts(snapshot_dir: str) -> set[int]:
-    commits = os.path.join(snapshot_dir, "_commits")
-    if not os.path.isdir(commits):
+def committed_parts(snapshot_dir: str, filesystem=None) -> set[int]:
+    fs, root = fsio.resolve(snapshot_dir, filesystem)
+    commits = fsio.join(root, "_commits")
+    if not fsio.is_dir(fs, commits):
         return set()
     return {
         int(f.split(".")[0])
-        for f in os.listdir(commits)
+        for f in fsio.listdir(fs, commits)
         if f.endswith(".json") and f.split(".")[0].isdigit()
     }
 
@@ -388,7 +390,7 @@ def encode(
         # JVM-side, vectorized — probe-time uses the same F.xxhash64
         planned = planned.withColumn(f"_bh_{c}", F.xxhash64(F.col(c)))
 
-    already = committed_parts(snapshot_dir) if resume else set()
+    already = committed_parts(snapshot_dir, cfg.filesystem) if resume else set()
     if already:
         planned = planned.filter(~F.col("_part_id").isin([int(p) for p in already]))
 
@@ -411,12 +413,13 @@ def finalize(
     wall_s: float,
     resumed_parts: int = 0,
 ) -> dict:
-    commits_dir = os.path.join(snapshot_dir, "_commits")
+    fs, root = fsio.resolve(snapshot_dir, cfg.filesystem)
+    commits_dir = fsio.join(root, "_commits")
     markers = []
-    for f in sorted(os.listdir(commits_dir)) if os.path.isdir(commits_dir) else []:
+    names = fsio.listdir(fs, commits_dir) if fsio.is_dir(fs, commits_dir) else []
+    for f in names:
         if f.endswith(".json"):
-            with open(os.path.join(commits_dir, f)) as fh:
-                markers.append(json.load(fh))
+            markers.append(fsio.read_json(fs, fsio.join(commits_dir, f)))
 
     per_col: dict[str, dict] = {}
     for m in markers:
@@ -455,9 +458,6 @@ def finalize(
             {k: m[k] for k in ("part_id", "file", "rows", "wall_s")} for m in markers
         ],
     }
-    tmp = os.path.join(snapshot_dir, f"_lineage.json.tmp-{uuid.uuid4().hex[:8]}")
-    os.makedirs(snapshot_dir, exist_ok=True)
-    with open(tmp, "w") as f:
-        json.dump(lineage, f, indent=1)
-    os.replace(tmp, os.path.join(snapshot_dir, "_lineage.json"))
+    fsio.mkdirs(fs, root)
+    fsio.write_json_atomic(fs, fsio.join(root, "_lineage.json"), lineage, indent=1)
     return lineage

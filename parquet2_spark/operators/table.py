@@ -25,13 +25,12 @@ case.
 
 from __future__ import annotations
 
-import json
 import os
 import time
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .. import fsio
 from .encode_job import EncodeConfig, encode
 
 MANIFEST = "_table.json"
@@ -40,21 +39,24 @@ MANIFEST = "_table.json"
 SNAP_SHIFT = 44  # part_id < 2^44 (~1.8e13 partitions), snap id < 2^19
 
 
-def is_table(path: str) -> bool:
-    return os.path.exists(os.path.join(path, MANIFEST))
+def is_table(path: str, filesystem=None) -> bool:
+    fs, root = fsio.resolve(path, filesystem)
+    return fsio.exists(fs, fsio.join(root, MANIFEST))
 
 
-def read_manifest(table_dir: str) -> dict | None:
-    p = os.path.join(table_dir, MANIFEST)
-    if not os.path.exists(p):
+def read_manifest(table_dir: str, filesystem=None) -> dict | None:
+    fs, root = fsio.resolve(table_dir, filesystem)
+    p = fsio.join(root, MANIFEST)
+    if not fsio.exists(fs, p):
         return None
-    with open(p) as f:
-        return json.load(f)
+    return fsio.read_json(fs, p)
 
 
-def snapshot_dirs(table_dir: str, as_of: int | None = None) -> list[tuple[int, str]]:
+def snapshot_dirs(
+    table_dir: str, as_of: int | None = None, filesystem=None
+) -> list[tuple[int, str]]:
     """(snapshot id, absolute dir) for every committed snapshot ≤ as_of."""
-    man = read_manifest(table_dir)
+    man = read_manifest(table_dir, filesystem)
     if man is None:
         raise FileNotFoundError(f"{table_dir} has no {MANIFEST}")
     out = []
@@ -79,12 +81,14 @@ def append(
     atomic manifest replace. Retrying a crashed append with the same
     batch resumes the interrupted snapshot instead of duplicating it.
     """
-    os.makedirs(table_dir, exist_ok=True)
-    man = read_manifest(table_dir) or {"format": 1, "current": 0, "snapshots": []}
+    cfg = cfg or EncodeConfig()
+    fs, root = fsio.resolve(table_dir, cfg.filesystem)
+    fsio.mkdirs(fs, root)
+    man = read_manifest(table_dir, cfg.filesystem) or {"format": 1, "current": 0, "snapshots": []}
     if man["snapshots"]:
-        last = snapshot_dirs(table_dir)[-1][1]
-        with open(os.path.join(last, "_lineage.json")) as f:
-            prev_schema = json.load(f)["schema"]
+        last = snapshot_dirs(table_dir, filesystem=cfg.filesystem)[-1][1]
+        _, lastroot = fsio.resolve(last, cfg.filesystem)
+        prev_schema = fsio.read_json(fs, fsio.join(lastroot, "_lineage.json"))["schema"]
         if dict(df.dtypes) != prev_schema:
             raise ValueError(
                 f"append schema {dict(df.dtypes)} != table schema {prev_schema}"
@@ -106,15 +110,16 @@ def append(
         }
     )
     man["current"] = next_id
-    _write_manifest(table_dir, man)
+    _write_manifest(table_dir, man, cfg.filesystem)
     return lin
 
 
-def _write_manifest(table_dir: str, man: dict) -> None:
-    tmp = os.path.join(table_dir, f"{MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as f:
-        json.dump(man, f, indent=1)
-    os.replace(tmp, os.path.join(table_dir, MANIFEST))
+def _write_manifest(table_dir: str, man: dict, filesystem=None) -> None:
+    """Atomic on local/HDFS (rename); on rename-free object stores a
+    manifest PUT is atomic per object — same single-pointer commit model
+    Iceberg uses (readers follow only the manifest)."""
+    fs, root = fsio.resolve(table_dir, filesystem)
+    fsio.write_json_atomic(fs, fsio.join(root, MANIFEST), man, indent=1)
 
 
 def compact(
@@ -131,10 +136,11 @@ def compact(
     external time-travel archival)."""
     from . import decode_job
 
-    man = read_manifest(table_dir)
+    cfg = cfg or EncodeConfig()
+    man = read_manifest(table_dir, cfg.filesystem)
     if man is None or not man["snapshots"]:
         raise FileNotFoundError(f"{table_dir}: nothing to compact")
-    old = snapshot_dirs(table_dir)
+    old = snapshot_dirs(table_dir, filesystem=cfg.filesystem)
     next_id = max(s["id"] for s in man["snapshots"]) + 1
     snap_name = f"snap-{next_id:06d}"
     snap_dir = os.path.join(table_dir, snap_name)
@@ -157,10 +163,9 @@ def compact(
             }
         ],
     }
-    _write_manifest(table_dir, new_man)
+    _write_manifest(table_dir, new_man, cfg.filesystem)
     if not keep_old:
-        import shutil
-
         for _, sdir in old:
-            shutil.rmtree(sdir, ignore_errors=True)
+            sfs, sroot = fsio.resolve(sdir, cfg.filesystem)
+            fsio.delete_dir(sfs, sroot)
     return lin
