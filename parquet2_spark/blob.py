@@ -679,6 +679,37 @@ def encode_chunk(
     else:
         fsst_table = None
 
+    # outer block-codec selection, once per chunk on the probe page:
+    # measure each candidate post-encoding, pick cost-aware (the cheapest
+    # codec within outer_slack of the smallest — lz4 usually wins the
+    # speed profile at near-identical size)
+    if cfg.outer_candidates and len(cfg.outer_candidates) > 1 and kind != "nested":
+        probe_vals = probe.drop_null()
+        sample_arr = (
+            probe_vals.slice(0, cfg.sample_values)
+            if len(probe_vals) > cfg.sample_values
+            else probe_vals
+        )
+        if len(sample_arr):
+            enc = _encode_values(code, kind, sample_arr, chunk_codec, fsst_table, cfg=cfg)
+            if len(enc) >= cfg.outer_min_bytes:
+                sizes = {
+                    name: len(
+                        block.compress(enc, name, cfg.outer_level if name == "zstd" else None)
+                    )
+                    for name in cfg.outer_candidates
+                }
+                best = min(sizes.values())
+                chosen = min(
+                    (n for n in sizes if sizes[n] <= best * (1 + cfg.outer_slack)),
+                    key=lambda n: (sel.OUTER_COST_RANK.get(n, 9), sizes[n]),
+                )
+                from dataclasses import replace as _replace
+
+                cfg = _replace(
+                    cfg, outer=chosen, outer_level=cfg.outer_level if chosen == "zstd" else None
+                )
+
     blobs: list[bytes] = []
     metas: list[PageMeta] = []
     for arr in pages:

@@ -40,6 +40,12 @@ def compress(data: bytes, name: str | None, level: int | None = None) -> bytes:
             # on another machine can decompress it (mtime=0: deterministic)
             return _gzip.compress(data, compresslevel=6, mtime=0)
         raise ValueError(f"codec {name} unavailable")
+    if level is not None:
+        try:
+            if not pa.Codec.supports_compression_level(name):
+                level = None  # e.g. lz4-frame/snappy take no level
+        except Exception:
+            pass
     codec = pa.Codec(name) if level is None else pa.Codec(name, compression_level=level)
     return codec.compress(data, asbytes=True)
 

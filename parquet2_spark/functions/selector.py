@@ -57,6 +57,12 @@ class SelectorConfig:
     outer_level: int | None = 2
     outer_min_gain: float = 0.9  # keep outer only if ≤ 90% of encoded size
     outer_min_bytes: int = 128  # don't bother below this payload size
+    # measure these outer codecs on the chunk's probe page and pick
+    # cost-aware (cheapest within outer_slack of the smallest) — () keeps
+    # the fixed cfg.outer. ("lz4", "zstd") is the speed profile: lz4
+    # decompresses ~5x faster and wins whenever its size is close enough.
+    outer_candidates: tuple = ()
+    outer_slack: float = 0.03  # cheaper outer wins within this fraction
     enable_fsst: bool = True
     enable_front_coding: bool = True
     # a cheaper-to-encode codec wins when its measured size is within this
@@ -109,6 +115,9 @@ def shortlist(st: BatchStats, kind: str, is_float: bool, cfg: SelectorConfig = D
 # relative encode cost (measured on the webgen corpus, 128k-row chunks):
 # plain ~114 MB/s, dict/rle/delta/bss vector kernels, front-coding ~50,
 # fsst ~33 — lower rank = cheaper encode+decode
+# relative (de)compression cost of outer block codecs — lower = cheaper
+OUTER_COST_RANK = {None: 0, "snappy": 1, "lz4": 1, "zstd": 2, "gzip": 3, "brotli": 4}
+
 ENCODE_COST_RANK = {
     CONSTANT: 0,
     BITMAP: 0,

@@ -157,3 +157,47 @@ class TestNearDupPlanes:
         got = embedding_near_dup(df, threshold=0.99, n_planes=n_planes).collect()
         pairs = {(r["id_a"], r["id_b"]) for r in got}
         assert (0, 1) in pairs
+
+
+class TestOuterCandidates:
+    """Chunk-level outer-codec selection (speed profile: measure lz4 vs
+    zstd on the probe, cheaper codec wins within outer_slack)."""
+
+    def _chunk(self):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        return pa.array([("token%d " % (i % 50)) * 8 for i in range(4000)])
+
+    def test_generous_slack_picks_lz4(self):
+        # measured on this corpus: lz4 ≈ 1.85× zstd size — slack 1.0
+        # ("speed over ratio up to 2×") deterministically flips to lz4,
+        # while a tight slack (next test) keeps zstd. Cost-aware = lz4
+        # wins only when it can actually hold the declared ratio.
+        from parquet2_spark.functions.selector import SelectorConfig
+
+        cfg = SelectorConfig(outer_candidates=("lz4", "zstd"), outer_slack=1.0)
+        payload, meta = blob.encode_chunk([self._chunk()], cfg)
+        assert meta.outers == ["lz4"]
+        out = blob.decode_chunk(payload)
+        if isinstance(out, pa.ChunkedArray):
+            out = pa.concat_arrays(out.chunks)
+        assert out.equals(self._chunk())
+
+    def test_zero_slack_picks_smallest(self):
+        from parquet2_spark.functions.selector import SelectorConfig
+
+        cfg = SelectorConfig(outer_candidates=("lz4", "zstd"), outer_slack=0.0)
+        payload, meta = blob.encode_chunk([self._chunk()], cfg)
+        assert meta.outers == ["zstd"]
+
+    def test_ratio_within_declared_slack(self):
+        from parquet2_spark.functions.selector import SelectorConfig
+
+        arr = self._chunk()
+        _, m_zstd = blob.encode_chunk([arr], SelectorConfig())
+        slack = 1.0
+        _, m_lz4 = blob.encode_chunk(
+            [arr], SelectorConfig(outer_candidates=("lz4", "zstd"), outer_slack=slack)
+        )
+        assert m_lz4.enc_bytes <= m_zstd.enc_bytes * (1 + slack) * 1.1
