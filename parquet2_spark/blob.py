@@ -400,6 +400,7 @@ def select_codec(
     cfg: SelectorConfig = sel.DEFAULT,
     stats: stats_mod.BatchStats | None = None,
     fsst_table=None,
+    vals: pa.Array | None = None,
 ) -> int:
     """Stats shortlist + sample-measure pick for one array (used per page
     standalone, or once per chunk — the reference enforces one codec per
@@ -408,8 +409,9 @@ def select_codec(
     chunk would actually use (and skips a redundant training pass)."""
     code = type_code_of(arr.type)
     kind = TYPES[code][2]
-    st = stats if stats is not None else stats_mod.compute(arr)
-    vals = arr.drop_null() if st.null_count else arr
+    st = stats if stats is not None else stats_mod.compute(arr, vals=vals)
+    if vals is None:
+        vals = arr.drop_null() if st.null_count else arr
     m = len(vals)
     candidates = sel.shortlist(st, kind, code in _FLOAT_CODES, cfg)
     if len(candidates) == 1 or m == 0:
@@ -437,14 +439,17 @@ def encode_page(
 ) -> tuple[bytes, PageMeta]:
     code = type_code_of(arr.type)
     kind = TYPES[code][2]
+    # materialize non-null values ONCE (drop_null copies the batch) and
+    # share them with stats + selector — null-bearing pages used to pay
+    # this gather 2-3× per page
+    vals = arr.drop_null() if arr.null_count else arr
     # full (hash-heavy) stats only when the selector needs them
-    st = stats if stats is not None else stats_mod.compute(arr, full=codec is None)
+    st = stats if stats is not None else stats_mod.compute(arr, full=codec is None, vals=vals)
     n, nulls = st.n, st.null_count
-    vals = arr.drop_null() if nulls else arr
     m = len(vals)
 
     if codec is None:
-        codec = select_codec(arr, cfg, st)
+        codec = select_codec(arr, cfg, st, vals=vals)
 
     # CONSTANT stores only the first non-null value — if a chunk-forced
     # CONSTANT reaches a page that isn't actually constant (min != max),
@@ -628,8 +633,17 @@ def encode_chunk(
         raise ValueError("chunk needs at least one page")
     code = type_code_of(pages[0].type)
     kind = TYPES[code][2]
-    probe = next((p for p in pages if len(p.drop_null())), pages[0])
-    probe_stats = stats_mod.compute(probe) if codec is None else None
+    # find the probe page and materialize its non-null values exactly once
+    # (drop_null copies the batch — it must not run per consumer)
+    probe, probe_vals = pages[0], None
+    for p in pages:
+        pv = p.drop_null() if p.null_count else p
+        if len(pv):
+            probe, probe_vals = p, pv
+            break
+    if probe_vals is None:
+        probe_vals = probe.drop_null() if probe.null_count else probe
+    probe_stats = stats_mod.compute(probe, vals=probe_vals) if codec is None else None
 
     # train the shared chunk-level FSST symbol table up front (≙ DictPage:
     # stored once per chunk) so the selector measures the real candidate —
@@ -645,7 +659,7 @@ def encode_chunk(
     sample = bytearray()
     if fsst_possible:
         for p in pages:
-            vals = p.drop_null()
+            vals = probe_vals if p is probe else (p.drop_null() if p.null_count else p)
             if len(vals):
                 sample += barray.from_arrow(vals)[1][: fsst.DEFAULT_SAMPLE]
             if len(sample) >= fsst.DEFAULT_SAMPLE:
@@ -659,7 +673,9 @@ def encode_chunk(
     # reference enforces exactly this (src/write/column_chunk.rs:108-121)
     chunk_codec = codec
     if chunk_codec is None:
-        chunk_codec = select_codec(probe, cfg, stats=probe_stats, fsst_table=fsst_table)
+        chunk_codec = select_codec(
+            probe, cfg, stats=probe_stats, fsst_table=fsst_table, vals=probe_vals
+        )
         if chunk_codec == CONSTANT:
             # the probe page was constant, but CONSTANT is only valid for
             # pages whose non-null values all match (it stores one value per
@@ -684,7 +700,6 @@ def encode_chunk(
     # codec within outer_slack of the smallest — lz4 usually wins the
     # speed profile at near-identical size)
     if cfg.outer_candidates and len(cfg.outer_candidates) > 1 and kind != "nested":
-        probe_vals = probe.drop_null()
         sample_arr = (
             probe_vals.slice(0, cfg.sample_values)
             if len(probe_vals) > cfg.sample_values

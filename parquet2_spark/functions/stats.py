@@ -34,15 +34,20 @@ class BatchStats:
         return self.n - self.null_count
 
 
-def compute(arr: pa.Array, full: bool = True) -> BatchStats:
+def compute(arr: pa.Array, full: bool = True, vals: pa.Array | None = None) -> BatchStats:
     """Per-batch stats. ``full=False`` skips the hash-heavy passes (ndv,
     run count, sortedness) and keeps only what chunk metadata needs
     (n/nulls/min/max/bytes) — pages beyond the selector's probe page use
-    the light path to stay memory-bandwidth-friendly."""
+    the light path to stay memory-bandwidth-friendly.
+
+    ``vals``: the caller's already-materialized ``arr.drop_null()`` —
+    drop_null COPIES the batch (a gather), so callers that need the
+    non-null values anyway (encode_page does) must not pay it twice."""
     n = len(arr)
     null_count = arr.null_count
     st = BatchStats(n=n, null_count=null_count)
-    vals = arr.drop_null() if null_count else arr
+    if vals is None:
+        vals = arr.drop_null() if null_count else arr
     m = len(vals)
     if m == 0:
         return st
