@@ -54,11 +54,12 @@ def bucket_stats(df: DataFrame, bucket_expr, value_col: str, out_type: str) -> D
     return src.groupBy("bucket").applyInPandas(per_group, schema)
 
 
-def bloom_build(df: DataFrame, key_col: str, n_blocks: int) -> bytes:
+def bloom_build(df: DataFrame, key_col: str, n_blocks: int, fanin: int = 16) -> bytes:
     """One bitset for the whole frame: per-partition partial bitsets
-    (vectorized build over Spark-computed xxhash64), OR-merged on the
-    driver — a classic partial aggregate, bitsets never exceed
-    n_blocks*32 bytes each."""
+    (vectorized build over Spark-computed xxhash64), OR-merged in a tree —
+    an executor-side reduce level first (≤ ``fanin`` partials reach the
+    driver), so a wide job with big bitsets (ndv≈1e9 → ~1 GB partials)
+    never funnels every partial through the driver."""
     hashed = df.select(F.xxhash64(F.col(key_col)).cast("long").alias("h"))
 
     def partial(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -67,7 +68,20 @@ def bloom_build(df: DataFrame, key_col: str, n_blocks: int) -> bytes:
         bs = bloom.build(h, n_blocks=n_blocks)
         yield pa.RecordBatch.from_arrays([pa.array([bs], type=pa.binary())], names=["bitset"])
 
-    parts = hashed.mapInArrow(partial, "bitset binary").collect()
+    def or_merge(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        acc = np.zeros(n_blocks * 8, dtype=np.uint32)
+        for rb in batches:
+            for bs in rb.column(0):
+                acc |= np.frombuffer(bs.as_py(), dtype=np.uint32)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([acc.tobytes()], type=pa.binary())], names=["bitset"]
+        )
+
+    partials = hashed.mapInArrow(partial, "bitset binary")
+    n_parts = df.rdd.getNumPartitions()
+    if n_parts > fanin:
+        partials = partials.repartition(fanin).mapInArrow(or_merge, "bitset binary")
+    parts = partials.collect()
     merged = np.zeros(n_blocks * 8, dtype=np.uint32)
     for row in parts:
         merged |= np.frombuffer(row["bitset"], dtype=np.uint32)

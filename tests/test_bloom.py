@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from parquet2_spark.plans import bloom
 
@@ -52,3 +53,15 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_bloom_build_tree_merge_matches_flat(spark):
+    from parquet2_spark.operators.stats_query import bloom_build, bloom_probe
+
+    df = spark.range(5000).select(F.concat(F.lit("k"), F.col("id")).alias("key")).repartition(20)
+    flat = bloom_build(df, "key", n_blocks=64, fanin=1000)   # driver merge only
+    tree = bloom_build(df, "key", n_blocks=64, fanin=4)      # executor OR level
+    assert flat == tree
+    probes = spark.createDataFrame([("k17",), ("absent-key",)], "key string")
+    got = {r["key"]: r["might_contain"] for r in bloom_probe(spark, probes, "key", tree).collect()}
+    assert got["k17"] is True
