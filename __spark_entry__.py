@@ -512,6 +512,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         append(spark, docs.filter(F.col("doc_id") >= 250), tdir, cfg)
         return decode_job.decode(spark, tdir, as_of=1)
 
+    def table_schema_evolution(spark, sf_dir):
+        """Additive schema evolution (Iceberg add-column): snapshot 2 adds
+        a `lang` column; snapshot-1 rows must read it as NULL, and the
+        merged decode must carry both snapshots' rows."""
+        import tempfile as _tf
+
+        from parquet2_spark.operators import decode_job
+        from parquet2_spark.operators.encode_job import EncodeConfig
+        from parquet2_spark.operators.table import append
+
+        docs = _t(spark, sf_dir, "documents")
+        tdir = _tf.mkdtemp(prefix="p2s_evo_") + "/t"
+        cfg = EncodeConfig(target_rows=256, page_rows=128, sort_by="doc_id",
+                           key="doc_id", host_from_key=False)
+        append(spark, docs.filter(F.col("doc_id") < 250).select("doc_id", "text"), tdir, cfg)
+        append(
+            spark,
+            docs.filter(F.col("doc_id") >= 250).select("doc_id", "text", "lang"),
+            tdir, cfg,
+        )
+        return decode_job.decode(spark, tdir).select("doc_id", "text", "lang")
+
     def point_lookup_bloom(spark, sf_dir):
         """Bloom-assisted point lookup (reference §3.3 index-assisted read):
         encode with a stored split-block bloom on doc_id, then decode with
@@ -554,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_webpages_lineage": encode_webpages_lineage,
         "table_append_decode": table_append_decode,
         "table_time_travel": table_time_travel,
+        "table_schema_evolution": table_schema_evolution,
         "point_lookup_bloom": point_lookup_bloom,
         # codec round-trips (SURVEY §2.A parity)
         "rt_auto_lineitem": _rt(
@@ -683,6 +706,12 @@ GROUP BY lang
         "table_append_decode": _sel("documents", docs_cols),
         "table_time_travel": (
             f"SELECT {docs_cols} FROM documents WHERE doc_id < 250"
+        ),
+        "table_schema_evolution": (
+            "SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang "
+            "FROM documents WHERE doc_id < 250 "
+            "UNION ALL "
+            "SELECT doc_id, text, lang FROM documents WHERE doc_id >= 250"
         ),
         "point_lookup_bloom": (
             f"SELECT {docs_cols} FROM documents WHERE doc_id = 137"

@@ -44,8 +44,14 @@ def lineage(snapshot_dir: str, as_of: int | None = None, filesystem=None) -> dic
             merged["rows"] += lin["rows"]
             merged["raw_bytes"] += lin["raw_bytes"]
             merged["enc_bytes"] += lin["enc_bytes"]
-            merged["schema"] = lin["schema"]  # append() enforces equality
-            merged["columns"] = lin["columns"]
+            # additive schema evolution: later snapshots may ADD columns
+            # (append() rejects drops/retypes) — merge preserves first-seen
+            # order and appends the new columns; older snapshots read NULL
+            merged.setdefault("schema", {}).update(lin["schema"])
+            cols_so_far = merged.setdefault("columns", [])
+            for c in lin["columns"]:
+                if c not in cols_so_far:
+                    cols_so_far.append(c)
             for c, v in lin["per_column"].items():
                 agg = merged["per_column"].setdefault(
                     c, {"raw_bytes": 0, "enc_bytes": 0, "n_rows": 0, "codecs": []}
@@ -297,6 +303,12 @@ def decode(
         | ({key_col} if key_col else set())
         | ({key_eq[0]} if key_eq is not None else set())
     )
+    if "snapshots" in lin and lin["columns"]:
+        # table with (possibly) evolved schema: anchor on the oldest
+        # snapshot's first column so partitions that predate a newly added
+        # column still produce their rows (as nulls) when only new
+        # columns are projected
+        need = sorted(set(need) | {lin["columns"][0]})
     df = df.filter(F.col("column").isin(need)).select(
         "part_id", "column", "payload", "page_mins", "page_maxs", "page_rows"
     )
@@ -374,6 +386,10 @@ def decode(
         n = len(next(iter(arrays.values()))) if arrays else 0
         cols = []
         for c in need:
+            if c not in arrays:
+                # column added by a later snapshot (additive schema
+                # evolution): this older partition reads it as all-null
+                arrays[c] = pa.nulls(n, expected_pa[c])
             a = arrays[c]
             if isinstance(a, pa.ChunkedArray):
                 a = a.combine_chunks()

@@ -89,9 +89,16 @@ def append(
         last = snapshot_dirs(table_dir, filesystem=cfg.filesystem)[-1][1]
         _, lastroot = fsio.resolve(last, cfg.filesystem)
         prev_schema = fsio.read_json(fs, fsio.join(lastroot, "_lineage.json"))["schema"]
-        if dict(df.dtypes) != prev_schema:
+        new_schema = dict(df.dtypes)
+        # additive schema evolution (Iceberg add-column): every existing
+        # column must keep its type; brand-new columns are allowed and
+        # read as NULL in older snapshots. Drops/renames/retypes are not.
+        changed = {c: (t, new_schema.get(c)) for c, t in prev_schema.items()
+                   if new_schema.get(c) != t}
+        if changed:
             raise ValueError(
-                f"append schema {dict(df.dtypes)} != table schema {prev_schema}"
+                f"append would drop/retype table columns {changed}; only "
+                f"adding new columns is supported (additive evolution)"
             )
     next_id = (max((s["id"] for s in man["snapshots"]), default=0)) + 1
     snap_name = f"snap-{next_id:06d}"

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from parquet2_spark.operators import decode_job, validate
 from parquet2_spark.operators.encode_job import EncodeConfig, encode
+from parquet2_spark.operators import table
 from parquet2_spark.operators.table import append, is_table, read_manifest
 from parquet2_spark.sources import webgen
 
@@ -69,9 +70,11 @@ def test_time_travel_as_of(spark, table3):
 
 
 def test_append_schema_mismatch_rejected(spark, table3):
+    # retyping an existing column is refused; ADDING a column is allowed
+    # (additive schema evolution, covered by TestSchemaEvolution)
     tdir, batches = table3
-    bad = batches[0].withColumn("extra", F.lit(1))
-    with pytest.raises(ValueError, match="schema"):
+    bad = batches[0].withColumn("warc_ts", F.lit(1))
+    with pytest.raises(ValueError, match="additive"):
         append(spark, bad, tdir, _cfg())
 
 
@@ -124,3 +127,52 @@ def test_table_stats_and_key_range_pruning(spark, table3):
     out = decode_job.decode(spark, tdir, key_range=("url", "b2-", "b2-￿"))
     assert 0 < out.count() <= BATCH
     assert out.filter(~F.col("url").startswith("b2-")).count() == 0
+
+
+class TestSchemaEvolution:
+    """Additive schema evolution (Iceberg add-column): later snapshots may
+    add columns; older snapshots read them as NULL. Drops/retypes refused."""
+
+    @pytest.fixture(scope="class")
+    def evolved(self, spark, tmp_path_factory):
+        tdir = str(tmp_path_factory.mktemp("tbl_evo"))
+        cfg = EncodeConfig(target_rows=64, key="url", host_from_key=False)
+        b1 = spark.createDataFrame(
+            [(f"u{i}", f"t{i}") for i in range(100)], "url string, text string"
+        )
+        table.append(spark, b1, tdir, cfg)
+        b2 = spark.createDataFrame(
+            [(f"v{i}", f"s{i}", "en") for i in range(50)],
+            "url string, text string, lang string",
+        )
+        table.append(spark, b2, tdir, cfg)
+        return tdir
+
+    def test_old_rows_read_new_column_as_null(self, spark, evolved):
+        out = decode_job.decode(spark, evolved)
+        assert set(out.columns) == {"url", "text", "lang"}
+        assert out.count() == 150
+        assert out.filter(F.col("lang").isNull()).count() == 100
+        assert out.filter(F.col("lang") == "en").count() == 50
+
+    def test_projection_of_only_new_column(self, spark, evolved):
+        out = decode_job.decode(spark, evolved, columns=["lang"])
+        assert out.columns == ["lang"]
+        assert out.count() == 150  # old partitions still produce null rows
+
+    def test_time_travel_sees_old_schema(self, spark, evolved):
+        out = decode_job.decode(spark, evolved, as_of=1)
+        assert set(out.columns) == {"url", "text"}
+        assert out.count() == 100
+
+    def test_retype_refused(self, spark, evolved):
+        bad = spark.createDataFrame(
+            [(1, "x", "en")], "url bigint, text string, lang string"
+        )
+        with pytest.raises(ValueError, match="additive"):
+            table.append(spark, bad, evolved)
+
+    def test_drop_refused(self, spark, evolved):
+        bad = spark.createDataFrame([("u", "en")], "url string, lang string")
+        with pytest.raises(ValueError, match="additive"):
+            table.append(spark, bad, evolved)
