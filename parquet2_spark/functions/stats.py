@@ -59,14 +59,17 @@ def compute(arr: pa.Array, full: bool = True, vals: pa.Array | None = None) -> B
         st.run_count = m
         return st
     t = vals.type
-    if (
-        pa.types.is_struct(t)
-        or pa.types.is_map(t)
-        or pa.types.is_decimal(t)
-        or pa.types.is_fixed_size_binary(t)
-    ):
-        # containers/decimal: sizes only — min/max ordering is either
-        # undefined (struct/map) or needs scale context (decimal), and the
+    if pa.types.is_decimal(t):
+        # decimal: exact typed min/max (feeds the conservative float zone
+        # map in _stat_cols); the nested codec recurses, so no ndv/runs
+        mm = pc.min_max(vals)
+        st.min, st.max = mm["min"].as_py(), mm["max"].as_py()
+        st.raw_bytes = 16 * m
+        st.ndv = m
+        st.run_count = m
+        return st
+    if pa.types.is_struct(t) or pa.types.is_map(t) or pa.types.is_fixed_size_binary(t):
+        # containers: sizes only — min/max ordering is undefined, and the
         # nested codec recurses so the selector never ranks these directly
         st.raw_bytes = int(vals.nbytes)
         st.ndv = m

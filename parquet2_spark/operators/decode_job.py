@@ -154,7 +154,15 @@ def prune_by_range(df: DataFrame, column: str, lo=None, hi=None) -> DataFrame:
         # numeric: consult the int zone map AND the float zone map
         # (coalesce: first stat that exists decides; neither → keep).
         # Spark coerces bigint-vs-double compares, so a float bound prunes
-        # int chunks and vice versa.
+        # int chunks and vice versa. Decimal bounds become CONSERVATIVE
+        # floats (lo down, hi up) matching the chunk dbl stats' rounding.
+        import decimal as _decimal
+        import math
+
+        if isinstance(lo, _decimal.Decimal):
+            lo = math.nextafter(float(lo), -math.inf)
+        if isinstance(hi, _decimal.Decimal):
+            hi = math.nextafter(float(hi), math.inf)
         has_dbl = "max_dbl" in out.columns
 
         def _keep(stat_num, stat_dbl, op):

@@ -201,6 +201,17 @@ def _stat_cols(meta: blob.ChunkMeta):
                 return None
             return float(v)
         return None, None, None, None, as_dbl(mn), as_dbl(mx)
+    import decimal as _decimal
+
+    if isinstance(mn, _decimal.Decimal) or isinstance(mx, _decimal.Decimal):
+        # decimal → CONSERVATIVE float bounds (min rounded down one ulp,
+        # max rounded up): the zone map may only ever widen the range —
+        # pruning stays sound, the residual row filter restores exactness
+        import math
+
+        lo = math.nextafter(float(mn), -math.inf) if mn is not None else None
+        hi = math.nextafter(float(mx), math.inf) if mx is not None else None
+        return None, None, None, None, lo, hi
     def as_num(v):
         if v is None:
             return None
@@ -339,6 +350,13 @@ def _jstat(v):
         return v.decode("utf-8", "replace")
     if isinstance(v, (np.integer,)):
         return int(v)
+    import decimal as _decimal
+
+    if isinstance(v, _decimal.Decimal):
+        # page-level decimal stats are dropped (json has no exact decimal;
+        # a nearest-float would need per-direction rounding) — pages with
+        # missing stats are always KEPT, chunk-level dbl bounds still prune
+        return None
     return v
 
 

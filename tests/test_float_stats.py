@@ -66,3 +66,39 @@ def test_int_bounds_on_float_column_and_vice_versa(spark, float_snap):
     # float bounds against the int column
     out2 = decode_job.decode(spark, float_snap, key_range=("k", 0.5, 9.5))
     assert sorted(r["k"] for r in out2.collect()) == list(range(1, 10))
+
+
+class TestDecimalZoneMaps:
+    @pytest.fixture(scope="class")
+    def dec_snap(self, spark, tmp_path_factory):
+        import decimal as d
+
+        rows = [(i, d.Decimal(i * 25) / d.Decimal(100)) for i in range(4000)]
+        df = spark.createDataFrame(rows, "k long, price decimal(12,2)")
+        out = str(tmp_path_factory.mktemp("snap_dec"))
+        encode(spark, df.repartitionByRange(4, "k"), out,
+               EncodeConfig(target_rows=1000, page_rows=250, sort_by="k", key="k",
+                            host_from_key=False, shuffle=False))
+        return out
+
+    def test_decimal_stats_conservative(self, spark, dec_snap):
+        st = {r["column"]: r for r in decode_job.stats(spark, dec_snap).collect()}
+        assert st["price"]["min_dbl"] is not None
+        assert st["price"]["min_dbl"] <= 0.0
+        assert st["price"]["max_dbl"] >= float(3999 * 25) / 100
+
+    def test_decimal_key_range_prunes_and_exact(self, spark, dec_snap):
+        import decimal as d
+
+        chunks = decode_job.chunks_df(spark, dec_snap)
+        total = chunks.select("part_id").distinct().count()
+        lo, hi = d.Decimal("10.25"), d.Decimal("99.75")
+        keyed = decode_job.prune_by_range(
+            chunks.filter(F.col("column") == "price"), "price", lo, hi
+        )
+        assert 0 < keyed.select("part_id").distinct().count() < total
+
+        out = decode_job.decode(spark, dec_snap, key_range=("price", lo, hi))
+        ks = sorted(r["k"] for r in out.collect())
+        want = [i for i in range(4000) if d.Decimal("10.25") <= d.Decimal(i * 25) / 100 <= d.Decimal("99.75")]
+        assert ks == want
