@@ -99,7 +99,12 @@ def _warm_workers(spark) -> None:
 
 
 def encode_run(
-    spark, web_path: str, tag: str, rows: int | None = None, outer_level: int | None = None
+    spark,
+    web_path: str,
+    tag: str,
+    rows: int | None = None,
+    outer_level: int | None = None,
+    selector=None,
 ) -> dict:
     from parquet2_spark.functions.selector import SelectorConfig
     from parquet2_spark.operators.encode_job import EncodeConfig, encode
@@ -116,7 +121,9 @@ def encode_run(
         page_rows=4096,
         host_sample_fraction=0.1,
     )
-    if outer_level is not None:
+    if selector is not None:
+        cfg.selector = selector
+    elif outer_level is not None:
         cfg.selector = SelectorConfig(outer_level=outer_level)
     t0 = time.time()
     lin = encode(spark, df, snap, cfg, resume=False)
@@ -157,6 +164,22 @@ def main() -> None:
     extra["encode"]["pyarrow_ref_bytes"] = os.path.getsize(ref_path)
     extra["encode"]["ratio_vs_pyarrow"] = enc["enc_bytes"] / os.path.getsize(ref_path)
     extra["encode"]["beats_pyarrow"] = enc["enc_bytes"] <= os.path.getsize(ref_path)
+
+    # --- speed profile: measured lz4-vs-zstd outer, generous slack — the
+    # "decode-bound consumer" configuration; records both walls and sizes
+    from parquet2_spark.functions.selector import SelectorConfig as _SelCfg
+
+    spd = encode_run(
+        spark, web_path, f"speed{CPUS}",
+        selector=_SelCfg(outer_candidates=("lz4", "zstd"), outer_slack=0.5),
+    )
+    queries["encode_web_speed"] = round(spd["wall_s"], 3)
+    extra["encode_speed_profile"] = {
+        "enc_bytes": spd["enc_bytes"],
+        "ratio": spd["enc_bytes"] / max(spd["raw_bytes"], 1),
+        "gbps": spd["gbps"],
+        "vs_default_bytes": spd["enc_bytes"] / max(enc["enc_bytes"], 1),
+    }
 
     from parquet2_spark.operators import decode_job, validate
 
