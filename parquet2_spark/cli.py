@@ -60,6 +60,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("snapshot")
     sp.add_argument("output")
     sp.add_argument("--columns", default=None)
+    sp.add_argument("--key-range", default=None, metavar="COL:LO:HI",
+                    help="zone-map range read (exact; numeric bounds auto-typed)")
+    sp.add_argument("--row-range", default=None, metavar="START:STOP",
+                    help="row-interval read through the page offset index")
+    sp.add_argument("--as-of", type=int, default=None,
+                    help="time-travel to this snapshot id (table dirs)")
     sp = sub.add_parser("validate")
     sp.add_argument("input")
     sp.add_argument("snapshot")
@@ -128,9 +134,30 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.cmd == "decode":
         cols = args.columns.split(",") if args.columns else None
-        decode_job.decode(spark, args.snapshot, columns=cols).write.mode("overwrite").parquet(
-            args.output
-        )
+        key_range = None
+        if args.key_range:
+            col, lo, hi = args.key_range.split(":", 2)
+
+            def _b(s):
+                if s == "":
+                    return None
+                try:
+                    return int(s)
+                except ValueError:
+                    try:
+                        return float(s)
+                    except ValueError:
+                        return s
+
+            key_range = (col, _b(lo), _b(hi))
+        row_range = None
+        if args.row_range:
+            a, b = args.row_range.split(":", 1)
+            row_range = (int(a), int(b))
+        decode_job.decode(
+            spark, args.snapshot, columns=cols, key_range=key_range,
+            row_range=row_range, as_of=args.as_of,
+        ).write.mode("overwrite").parquet(args.output)
         print(f"wrote {args.output}")
         return 0
     if args.cmd == "validate":

@@ -8,6 +8,7 @@ import subprocess
 import sys
 
 import pytest
+from pyspark.sql import functions as F
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -81,3 +82,25 @@ def test_cli_append_builds_table(snapshot, tmp_path_factory):
 def test_cli_unknown_command():
     r = _run("frobnicate", "/tmp/nope")
     assert r.returncode == 2
+
+
+def test_cli_decode_key_and_row_range(spark, tmp_path_factory):
+    from parquet2_spark import cli
+    from parquet2_spark.operators.encode_job import EncodeConfig, encode
+
+    snap = str(tmp_path_factory.mktemp("cli_kr"))
+    df = spark.range(500).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("s")
+    )
+    encode(spark, df.repartitionByRange(2, "k"), snap,
+           EncodeConfig(target_rows=250, page_rows=64, sort_by="k", key="k",
+                        host_from_key=False, shuffle=False))
+
+    out1 = str(tmp_path_factory.mktemp("cli_out1")) + "/o"
+    assert cli.main(["decode", snap, out1, "--key-range", "k:100:199"]) == 0
+    got = spark.read.parquet(out1)
+    assert sorted(r["k"] for r in got.collect()) == list(range(100, 200))
+
+    out2 = str(tmp_path_factory.mktemp("cli_out2")) + "/o"
+    assert cli.main(["decode", snap, out2, "--row-range", "10:25"]) == 0
+    assert spark.read.parquet(out2).count() == 15

@@ -174,3 +174,37 @@ def test_streaming_windowed_stats_watermark(spark, tmp_path_factory):
         for r in spark.read.parquet(outbox).collect()
     }
     assert got == {(0, 2, 3.0), (60, 1, 10.0)}, got
+
+
+def test_streaming_encode_nested_columns(spark, tmp_path_factory):
+    """Nested (array/struct) columns flow through the streaming encode
+    path bit-identical — the same blob layer serves batch and stream."""
+    from parquet2_spark.operators.encode_job import EncodeConfig
+    from parquet2_spark.streaming.encode_stream import decode_stream_snapshot, encode_stream
+
+    snap = str(tmp_path_factory.mktemp("stream_snap_n"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt_n"))
+    src_dir = str(tmp_path_factory.mktemp("stream_src_n"))
+    batch = (
+        spark.range(400)
+        .withColumn("url", F.concat(F.lit("https://n.example/"), F.col("id")))
+        .withColumn("tokens", F.array(F.concat(F.lit("t"), F.col("id")), F.lit("x")))
+        .withColumn(
+            "meta",
+            F.struct(
+                (F.col("id") % 7).alias("bucket"),
+                F.concat(F.lit("T"), F.col("id") % 3).alias("title"),
+            ),
+        )
+        .select("url", "tokens", "meta")
+    )
+    batch.repartition(2).write.mode("overwrite").parquet(src_dir)
+    src = spark.readStream.schema(batch.schema).parquet(src_dir)
+    q = encode_stream(
+        spark, src, snap, ckpt, EncodeConfig(target_rows=100, page_rows=64, key="url")
+    )
+    q.awaitTermination(120)
+    out = decode_stream_snapshot(spark, snap)
+    got = sorted(repr(tuple(r)) for r in out.collect())
+    want = sorted(repr(tuple(r)) for r in batch.collect())
+    assert got == want
