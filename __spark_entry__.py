@@ -397,6 +397,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.element_at(F.col("counts"), "len2").alias("cnt_len2"),
         )
 
+    def nested_field_projection(spark, sf_dir):
+        """Nested projection pushdown (group-type get_field_columns):
+        encode documents under a struct column, decode only two of its
+        three fields via dotted columns — the third field's child pages
+        are skipped by header walk, never decompressed."""
+        import tempfile as _tf
+
+        from parquet2_spark.operators import decode_job
+        from parquet2_spark.operators.encode_job import EncodeConfig, encode
+
+        docs = _t(spark, sf_dir, "documents")
+        nested = docs.select(
+            "doc_id",
+            F.struct(
+                F.col("lang").alias("lang"),
+                F.col("text").alias("body"),
+                F.col("n_chars").cast("long").alias("nc"),
+            ).alias("meta"),
+        )
+        snap = _tf.mkdtemp(prefix="p2s_fproj_")
+        encode(spark, nested, snap,
+               EncodeConfig(target_rows=256, page_rows=128, sort_by="doc_id",
+                            key="doc_id", host_from_key=False))
+        out = decode_job.decode(spark, snap, columns=["doc_id", "meta.lang", "meta.nc"])
+        return out.select(
+            "doc_id",
+            F.col("meta.lang").alias("meta_lang"),
+            F.col("meta.nc").alias("meta_nc"),
+        )
+
     def rt_decimal(spark, sf_dir):
         """Decimal columns (reference PrimitiveLogicalType::Decimal,
         parquet_bridge.rs:486) through the codec layer: exact
@@ -601,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # makes the codec's oracle coverage explicit on long text
         "rt_delta_length": _rt("documents", ["doc_id", "text"], {"text": PLAIN}),
         "rt_nested": rt_nested,
+        "nested_field_projection": nested_field_projection,
         "rt_decimal": rt_decimal,
         "rt_small_types": rt_small_types,
         # stats / pruning / bloom (SURVEY §2.D/§2.E parity)
@@ -770,6 +801,10 @@ SELECT doc_id,
        CAST(n_chars * 2 AS BIGINT) AS cnt_len2
 FROM documents
 """,
+        "nested_field_projection": (
+            "SELECT doc_id, lang AS meta_lang, CAST(n_chars AS BIGINT) AS meta_nc "
+            "FROM documents"
+        ),
         "rt_decimal": """
 SELECT l_orderkey, l_linenumber,
        CAST(CAST(CAST(l_orderkey AS VARCHAR) || '.' ||

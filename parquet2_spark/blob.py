@@ -200,7 +200,21 @@ def _offsets32(lens: np.ndarray) -> pa.Array:
     return pa.array(offsets.astype(np.int32), type=pa.int32())
 
 
-def _decode_nested(buf: memoryview, m: int) -> pa.Array:
+def skip_page(buf: memoryview, pos: int) -> int:
+    """End position of the page blob at ``pos`` — header parse only, the
+    payload is never decompressed or decoded (nested field pruning walks
+    sibling child pages with this)."""
+    n, p = uleb128_decode(buf, pos + 3)
+    nulls, p = uleb128_decode(buf, p)
+    if 0 < nulls < n:
+        vlen, p = uleb128_decode(buf, p)
+        p += vlen
+    _raw, p = uleb128_decode(buf, p)
+    plen, p = uleb128_decode(buf, p)
+    return p + plen
+
+
+def _decode_nested(buf: memoryview, m: int, field_filter=None) -> pa.Array:
     tag = buf[0]
     if tag == _NT_LIST:
         lens, pos = delta.decode_consumed(buf[1:])
@@ -218,11 +232,21 @@ def _decode_nested(buf: memoryview, m: int) -> pa.Array:
             ln, pos = uleb128_decode(buf, pos)
             names.append(bytes(buf[pos : pos + ln]).decode("utf-8"))
             pos += ln
-        children = []
-        for _ in range(n_fields):
+        if field_filter is not None:
+            missing = set(field_filter) - set(names)
+            if missing:
+                raise KeyError(f"struct has no fields {sorted(missing)} (have {names})")
+        kept_names, children = [], []
+        for name in names:
+            if field_filter is not None and name not in field_filter:
+                # nested projection pushdown: the sibling field's page is
+                # walked by header only — never decompressed or decoded
+                pos = skip_page(buf, pos)
+                continue
             c, pos = decode_page(buf, pos)
+            kept_names.append(name)
             children.append(c)
-        return pa.StructArray.from_arrays(children, names=names)
+        return pa.StructArray.from_arrays(children, names=kept_names)
     if tag == _NT_DECIMAL:
         precision, scale, wide = buf[1], buf[2], buf[3]
         lo, pos = decode_page(buf, 4)
@@ -506,7 +530,9 @@ def encode_page(
     return page, meta
 
 
-def decode_page(buf: bytes | memoryview, pos: int = 0, fsst_table=None) -> tuple[pa.Array, int]:
+def decode_page(
+    buf: bytes | memoryview, pos: int = 0, fsst_table=None, field_filter=None
+) -> tuple[pa.Array, int]:
     buf = memoryview(buf)
     code, codec, outer_id = buf[pos], buf[pos + 1], buf[pos + 2]
     name, dtype, kind, factory = TYPES[code]
@@ -528,7 +554,7 @@ def decode_page(buf: bytes | memoryview, pos: int = 0, fsst_table=None) -> tuple
     m = n - nulls
 
     if kind == "nested":
-        values = _decode_nested(enc, m)
+        values = _decode_nested(enc, m, field_filter=field_filter)
         if m < n:
             # scatter nulls generically: take() with null indices yields
             # null slots for ANY type — no per-kind buffer surgery needed
@@ -772,6 +798,7 @@ def encode_chunk(
 def iter_chunk_pages(
     buf: bytes | memoryview,
     page_filter: Callable[[int, int], bool] | None = None,
+    field_filter=None,
 ) -> Iterator[tuple[int, pa.Array | None]]:
     """Yield ``(first_row_index, array-or-None)`` per page.
 
@@ -801,7 +828,7 @@ def iter_chunk_pages(
         # page n_rows sits right after the 3 header bytes
         page_n, _ = uleb128_decode(page, 3)
         if page_filter is None or page_filter(i, first_row):
-            arr, _ = decode_page(page, 0, fsst_table=fsst_table)
+            arr, _ = decode_page(page, 0, fsst_table=fsst_table, field_filter=field_filter)
             yield first_row, arr
         else:
             yield first_row, None
@@ -823,12 +850,14 @@ def concat_pages(arrs: list[pa.Array]) -> pa.Array:
     return pa.concat_arrays(arrs)
 
 
-def decode_chunk(buf: bytes | memoryview) -> pa.Array:
-    arrs = [a for _, a in iter_chunk_pages(buf)]
+def decode_chunk(buf: bytes | memoryview, field_filter=None) -> pa.Array:
+    arrs = [a for _, a in iter_chunk_pages(buf, field_filter=field_filter)]
     return concat_pages(arrs)
 
 
-def decode_chunk_rows(buf: bytes | memoryview, row_start: int, row_count: int) -> pa.Array:
+def decode_chunk_rows(
+    buf: bytes | memoryview, row_start: int, row_count: int, field_filter=None
+) -> pa.Array:
     """Decode only rows [row_start, row_start+row_count) of a chunk.
 
     Reference parity: ``compute_rows``/``select_pages`` +
@@ -864,7 +893,7 @@ def decode_chunk_rows(buf: bytes | memoryview, row_start: int, row_count: int) -
         return pfr < end and pfr + pn > row_start
 
     out: list[pa.Array] = []
-    for first_row, arr in iter_chunk_pages(buf, page_filter=overlap):
+    for first_row, arr in iter_chunk_pages(buf, page_filter=overlap, field_filter=field_filter):
         if arr is None:
             continue
         lo = max(row_start - first_row, 0)

@@ -244,6 +244,23 @@ def decode(
     cols = columns or lin["columns"]
     schema_map = lin["schema"]
 
+    # dotted columns ("meta.title") = nested projection pushdown: only the
+    # requested struct fields are decoded; sibling fields' child pages are
+    # skipped by header walk, never decompressed (the group-type analog of
+    # the reference's get_field_columns)
+    field_sel: dict[str, set[str]] = {}
+    base_cols: list[str] = []
+    for c in cols:
+        if c not in schema_map and "." in c:
+            base, fld = c.split(".", 1)
+            if base not in schema_map:
+                raise KeyError(f"column {base} (from {c}) not in snapshot schema")
+            field_sel.setdefault(base, set()).add(fld)
+            c = base
+        if c not in base_cols:
+            base_cols.append(c)
+    cols = base_cols
+
     # ``row_range=(start, stop)`` — the §3.3 row-interval read (reference
     # compute_rows/select_pages/SliceFilteredIter): partitions outside the
     # interval are pruned driver-side from lineage row counts (metadata
@@ -321,13 +338,33 @@ def decode(
         "part_id", "column", "payload", "page_mins", "page_maxs", "page_rows"
     )
 
-    out_schema = ", ".join(f"`{c}` {schema_map[c]}" for c in need)
     session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
     # the exact arrow types Spark expects back (tz-aware timestamps, also
-    # nested inside struct/list/map) — computed driver-side, pickled in
-    from ..schema import ddl_to_pa_types
+    # nested inside struct/list/map) — computed driver-side, pickled in;
+    # struct types are pruned to the selected fields here so the UDF's
+    # output schema and the blob-level field_filter agree
+    from ..schema import spark_type_to_pa
 
-    expected_pa = ddl_to_pa_types(spark, schema_map, need, ts_tz=session_tz)
+    ddl_full = ", ".join(f"`{c}` {schema_map[c]}" for c in need)
+    stype = spark.createDataFrame([], ddl_full).schema
+    if field_sel:
+        from pyspark.sql import types as T
+
+        pruned = []
+        for f in stype.fields:
+            if f.name in field_sel:
+                if not isinstance(f.dataType, T.StructType):
+                    raise TypeError(f"{f.name} is not a struct — cannot project fields")
+                have = {sf.name for sf in f.dataType.fields}
+                missing = field_sel[f.name] - have
+                if missing:
+                    raise KeyError(f"{f.name} has no fields {sorted(missing)}")
+                kept = [sf for sf in f.dataType.fields if sf.name in field_sel[f.name]]
+                f = T.StructField(f.name, T.StructType(kept), f.nullable)
+            pruned.append(f)
+        stype = T.StructType(pruned)
+    out_schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in stype.fields)
+    expected_pa = {f.name: spark_type_to_pa(f.dataType, ts_tz=session_tz) for f in stype.fields}
     # page zone maps store _jstat units (micros/days; bytes as utf-8 text)
     # — normalize the bounds once so the page compare is unit-correct
     def _page_bound(v):
@@ -370,17 +407,20 @@ def decode(
 
         arrays = {}
         for name, payload in zip(names, payloads):
+            ff = field_sel.get(name)
             if span is not None:
                 # page offset index selects overlapping pages; residual
                 # slice applied per page — never decodes outside the span
-                arrays[name] = blob.decode_chunk_rows(payload, span[0], span[1] - span[0])
+                arrays[name] = blob.decode_chunk_rows(
+                    payload, span[0], span[1] - span[0], field_filter=ff
+                )
             elif page_keep is None:
-                arrays[name] = blob.decode_chunk(payload)
+                arrays[name] = blob.decode_chunk(payload, field_filter=ff)
             else:
                 parts = [
                     a
                     for _, a in blob.iter_chunk_pages(
-                        payload, page_filter=lambda i, fr: i in page_keep
+                        payload, page_filter=lambda i, fr: i in page_keep, field_filter=ff
                     )
                     if a is not None
                 ]

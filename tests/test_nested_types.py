@@ -12,6 +12,7 @@ import decimal
 import numpy as np
 import pyarrow as pa
 import pytest
+from pyspark.sql import functions as F
 
 from parquet2_spark import blob
 
@@ -215,3 +216,52 @@ class TestRowRangeAndExactKeyRange:
 
 
 from pyspark.sql.functions import col as F_col  # noqa: E402  (fixture use)
+
+
+class TestNestedFieldProjection:
+    """Dotted-column decode ("meta.title"): only selected struct fields
+    are decoded; sibling fields' child pages are skipped by header walk
+    (the group-type analog of the reference's get_field_columns)."""
+
+    @pytest.fixture(scope="class")
+    def snap(self, spark, tmp_path_factory):
+        from parquet2_spark.operators.encode_job import EncodeConfig, encode
+
+        rows = [
+            (i, {"title": f"T{i % 9}", "body": "B" * 300, "score": float(i)})
+            for i in range(800)
+        ]
+        df = spark.createDataFrame(
+            rows, "id bigint, meta struct<title:string, body:string, score:double>"
+        )
+        d = str(tmp_path_factory.mktemp("snap_fproj"))
+        encode(spark, df, d,
+               EncodeConfig(target_rows=400, page_rows=128, sort_by="id", key="id",
+                            host_from_key=False))
+        return d
+
+    def test_projects_selected_fields_only(self, spark, snap):
+        from parquet2_spark.operators import decode_job
+
+        out = decode_job.decode(spark, snap, columns=["id", "meta.title", "meta.score"])
+        assert dict(out.dtypes)["meta"] == "struct<title:string,score:double>"
+        got = sorted((r["id"], r["meta"]["title"], r["meta"]["score"]) for r in out.collect())
+        assert got == [(i, f"T{i % 9}", float(i)) for i in range(800)]
+
+    def test_full_struct_unchanged(self, spark, snap):
+        from parquet2_spark.operators import decode_job
+
+        out = decode_job.decode(spark, snap, columns=["id", "meta"])
+        assert out.filter(F.col("meta.body") != "B" * 300).count() == 0
+
+    def test_missing_field_raises(self, spark, snap):
+        from parquet2_spark.operators import decode_job
+
+        with pytest.raises(KeyError):
+            decode_job.decode(spark, snap, columns=["meta.nope"])
+
+    def test_non_struct_dotted_raises(self, spark, snap):
+        from parquet2_spark.operators import decode_job
+
+        with pytest.raises((TypeError, KeyError)):
+            decode_job.decode(spark, snap, columns=["id.x"])
