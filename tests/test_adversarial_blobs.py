@@ -65,3 +65,52 @@ def test_garbage_header_rejected():
     for junk in (b"", b"\x00", b"\xff" * 16, b"PAR1" + b"\x00" * 64):
         with pytest.raises(Exception):
             blob.decode_page(junk)
+
+
+class TestAdversarialNested:
+    """Corrupted nested payloads must raise cleanly, never hang or return
+    garbage-typed arrays."""
+
+    def _payload(self):
+        import pyarrow as pa
+
+        arr = pa.array(
+            [{"a": i, "b": f"s{i}"} for i in range(200)],
+            type=pa.struct([("a", pa.int64()), ("b", pa.string())]),
+        )
+        payload, _ = blob.encode_chunk([arr])
+        return bytes(payload)
+
+    def test_truncations_raise(self):
+        payload = self._payload()
+        for cut in (5, len(payload) // 4, len(payload) // 2, len(payload) - 3):
+            with pytest.raises(Exception):
+                blob.decode_chunk(payload[:cut])
+
+    def test_bad_nested_tag_raises(self):
+        import pyarrow as pa
+
+        arr = pa.array([[1, 2]], type=pa.list_(pa.int64()))
+        page, _ = blob.encode_page(arr)
+        page = bytearray(page)
+        # find the payload start: header is [code, codec, outer][n][nulls][raw][plen]
+        # corrupt the first payload byte (the nested tag)
+        # payload is the tail; tag byte = first byte after the last uleb
+        # (locate by re-encoding an empty prefix: simplest robust approach,
+        # flip every trailing byte position once and require no silent success)
+        ok_silent = 0
+        for i in range(3, len(page)):
+            mut = bytes(page[:i]) + bytes([page[i] ^ 0x5A]) + bytes(page[i + 1:])
+            try:
+                out, _ = blob.decode_page(mut)
+                # a decode that "succeeds" must at least keep row count
+                if len(out) != 1:
+                    ok_silent += 1
+            except Exception:
+                pass
+        assert ok_silent == 0
+
+    def test_unknown_field_filter_raises(self):
+        payload = self._payload()
+        with pytest.raises(KeyError):
+            blob.decode_chunk(payload, field_filter={"zzz"})

@@ -176,3 +176,26 @@ class TestSchemaEvolution:
         bad = spark.createDataFrame([("u", "en")], "url string, lang string")
         with pytest.raises(ValueError, match="additive"):
             table.append(spark, bad, evolved)
+
+
+def test_compact_after_schema_evolution(spark, tmp_path_factory):
+    """compact() of an evolved table re-encodes the merged schema (old
+    rows carry the added column as nulls) into one fresh snapshot."""
+    from parquet2_spark.operators.table import compact
+
+    tdir = str(tmp_path_factory.mktemp("tbl_evo_c"))
+    cfg = EncodeConfig(target_rows=64, key="url", host_from_key=False)
+    b1 = spark.createDataFrame([(f"u{i}", f"t{i}") for i in range(80)],
+                               "url string, text string")
+    table.append(spark, b1, tdir, cfg)
+    b2 = spark.createDataFrame([(f"v{i}", f"s{i}", i) for i in range(40)],
+                               "url string, text string, rank bigint")
+    table.append(spark, b2, tdir, cfg)
+
+    compact(spark, tdir, cfg)
+    man = read_manifest(tdir)
+    assert len(man["snapshots"]) == 1
+    out = decode_job.decode(spark, tdir)
+    assert out.count() == 120
+    assert out.filter(F.col("rank").isNull()).count() == 80
+    assert out.filter(F.col("rank") >= 0).count() == 40
