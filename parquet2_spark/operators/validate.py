@@ -54,8 +54,26 @@ def digest_frames(source: DataFrame, decoded: DataFrame) -> dict:
     full-outer-join compare_frames stays as the forensic tool that can
     *name* the mismatching rows."""
 
+    def _contains_map(dt) -> bool:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return _contains_map(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(_contains_map(f.dataType) for f in dt.fields)
+        return False
+
     def digest(df: DataFrame) -> dict:
-        h = F.xxhash64(*[F.col(c) for c in sorted(df.columns)])
+        # xxhash64 rejects MapType anywhere in a column's type — fold such
+        # columns through to_json first (entry order is preserved by the
+        # decode path, so source and decoded serialize identically)
+        exprs = [
+            F.to_json(F.col(c)) if _contains_map(df.schema[c].dataType) else F.col(c)
+            for c in sorted(df.columns)
+        ]
+        h = F.xxhash64(*exprs)
         row = (
             df.select(h.alias("_h"))
             .agg(

@@ -265,3 +265,24 @@ class TestNestedFieldProjection:
 
         with pytest.raises((TypeError, KeyError)):
             decode_job.decode(spark, snap, columns=["id.x"])
+
+
+def test_digest_validate_nested_snapshot(spark, tmp_path_factory):
+    """The join-free digest validator must handle nested columns (maps are
+    not xxhash64-able in Spark — folded through to_json)."""
+    from parquet2_spark.operators import decode_job, validate
+    from parquet2_spark.operators.encode_job import EncodeConfig, encode
+
+    rows = [
+        (i, {"t": f"T{i % 5}"}, [i, i + 1], {f"k{i % 3}": i})
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, st struct<t:string>, arr array<bigint>, mp map<string,bigint>"
+    )
+    snap = str(tmp_path_factory.mktemp("snap_digest_n"))
+    encode(spark, df, snap,
+           EncodeConfig(target_rows=150, page_rows=64, sort_by="id", key="id",
+                        host_from_key=False))
+    rep = validate.digest_frames(df, decode_job.decode(spark, snap))
+    assert rep["bit_identical"], rep
