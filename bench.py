@@ -57,6 +57,9 @@ def session(cores: int):
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # netty's 1 GiB direct-memory default OOMs with 32 concurrent
+        # Arrow-IPC tasks (measured at the 2M-row soak)
+        .config("spark.driver.extraJavaOptions", "-XX:MaxDirectMemorySize=8g")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         # lz4 shuffle: measured faster at EVERY core count here (the raw
         # shuffle's page-cache traffic starves the encode kernels of
