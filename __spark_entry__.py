@@ -581,6 +581,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             bloom_columns=("doc_id",)))
         return decode_job.decode(spark, snap, key_eq=("doc_id", 137))
 
+    def multi_point_lookup_bloom(spark, sf_dir):
+        """IN-list batch fetch: one bloom pass with all probe hashes keeps
+        a partition if ANY key might be present; residual isin is exact —
+        the fetch-N-documents-by-id path of a training pipeline."""
+        import tempfile as _tf
+
+        from parquet2_spark.operators import decode_job
+        from parquet2_spark.operators.encode_job import EncodeConfig, encode
+
+        docs = _t(spark, sf_dir, "documents")
+        snap = _tf.mkdtemp(prefix="p2s_bloomin_")
+        encode(spark, docs, snap,
+               EncodeConfig(target_rows=64, page_rows=32, sort_by="doc_id",
+                            key="doc_id", host_from_key=False,
+                            bloom_columns=("doc_id",)))
+        return decode_job.decode(spark, snap, key_in=("doc_id", [7, 137, 256, 444]))
+
+    def table_incremental_read(spark, sf_dir):
+        """Incremental consumption: decode(since=1) reads only snapshot 2's
+        rows — the CDC window a periodically-retrained pipeline uses."""
+        import tempfile as _tf
+
+        from parquet2_spark.operators import decode_job
+        from parquet2_spark.operators.encode_job import EncodeConfig
+        from parquet2_spark.operators.table import append
+
+        docs = _t(spark, sf_dir, "documents")
+        tdir = _tf.mkdtemp(prefix="p2s_inc_") + "/t"
+        cfg = EncodeConfig(target_rows=256, page_rows=128, sort_by="doc_id",
+                           key="doc_id", host_from_key=False)
+        append(spark, docs.filter(F.col("doc_id") < 250), tdir, cfg)
+        append(spark, docs.filter(F.col("doc_id") >= 250), tdir, cfg)
+        return decode_job.decode(spark, tdir, since=1)
+
     def encode_webpages_lineage(spark, sf_dir):
         """North-star input table end-to-end: generate the web-page table,
         run the encode job, surface per-column lineage as rows."""
@@ -608,6 +642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_time_travel": table_time_travel,
         "table_schema_evolution": table_schema_evolution,
         "point_lookup_bloom": point_lookup_bloom,
+        "multi_point_lookup_bloom": multi_point_lookup_bloom,
+        "table_incremental_read": table_incremental_read,
         # codec round-trips (SURVEY §2.A parity)
         "rt_auto_lineitem": _rt(
             "lineitem",
@@ -746,6 +782,12 @@ GROUP BY lang
         ),
         "point_lookup_bloom": (
             f"SELECT {docs_cols} FROM documents WHERE doc_id = 137"
+        ),
+        "multi_point_lookup_bloom": (
+            f"SELECT {docs_cols} FROM documents WHERE doc_id IN (7, 137, 256, 444)"
+        ),
+        "table_incremental_read": (
+            f"SELECT {docs_cols} FROM documents WHERE doc_id >= 250"
         ),
         "training_pipeline": pipe,
         "rt_auto_lineitem": _sel("lineitem", li_cols),

@@ -30,7 +30,7 @@ from .. import blob, fsio
 # schema.ddl_to_pa_types (recursive, driver-side).
 
 
-def lineage(snapshot_dir: str, as_of: int | None = None, filesystem=None) -> dict:
+def lineage(snapshot_dir: str, as_of: int | None = None, filesystem=None, since: int | None = None) -> dict:
     """Lineage of a snapshot dir — or the merged lineage of a multi-
     snapshot table dir (see operators.table)."""
     from . import table as table_mod
@@ -38,7 +38,7 @@ def lineage(snapshot_dir: str, as_of: int | None = None, filesystem=None) -> dic
     if table_mod.is_table(snapshot_dir, filesystem):
         merged: dict = {"table": snapshot_dir, "snapshots": [], "rows": 0,
                         "raw_bytes": 0, "enc_bytes": 0, "per_column": {}}
-        for sid, sdir in table_mod.snapshot_dirs(snapshot_dir, as_of, filesystem):
+        for sid, sdir in table_mod.snapshot_dirs(snapshot_dir, as_of, filesystem, since):
             lin = lineage(sdir, filesystem=filesystem)
             merged["snapshots"].append({"id": sid, "dir": sdir, "rows": lin["rows"]})
             merged["rows"] += lin["rows"]
@@ -65,7 +65,20 @@ def lineage(snapshot_dir: str, as_of: int | None = None, filesystem=None) -> dic
     return fsio.read_json(fs, fsio.join(root, "_lineage.json"))
 
 
-def chunks_df(spark: SparkSession, snapshot_dir: str, as_of: int | None = None) -> DataFrame:
+# the chunk parquet schema as Spark DDL (kept in sync with
+# encode_job.CHUNK_PA_SCHEMA) — used to type a zero-row chunks frame
+_CHUNKS_DDL = (
+    "part_id long, column string, type_code int, n_rows long, null_count long, "
+    "n_pages int, codecs string, outers string, raw_bytes long, enc_bytes long, "
+    "min_bin binary, max_bin binary, min_num long, max_num long, "
+    "min_dbl double, max_dbl double, ndv long, "
+    "page_rows string, page_mins string, page_maxs string, bloom binary, payload binary"
+)
+
+
+def chunks_df(
+    spark: SparkSession, snapshot_dir: str, as_of: int | None = None, since: int | None = None
+) -> DataFrame:
     """The chunks table (metadata + payload). Stats queries should select
     only metadata columns — parquet column pruning then never touches the
     payload bytes. A multi-snapshot table dir unions every committed
@@ -75,7 +88,7 @@ def chunks_df(spark: SparkSession, snapshot_dir: str, as_of: int | None = None) 
 
     if table_mod.is_table(snapshot_dir):
         parts = []
-        for sid, sdir in table_mod.snapshot_dirs(snapshot_dir, as_of):
+        for sid, sdir in table_mod.snapshot_dirs(snapshot_dir, as_of, since=since):
             d = spark.read.parquet(os.path.join(sdir, "chunks"))
             parts.append(
                 d.withColumn(
@@ -85,6 +98,10 @@ def chunks_df(spark: SparkSession, snapshot_dir: str, as_of: int | None = None) 
                 )
             )
         if not parts:
+            if since is not None:
+                # empty incremental window (nothing new since the caller's
+                # checkpoint) — a zero-row chunks frame, not an error
+                return spark.createDataFrame([], _CHUNKS_DDL)
             raise FileNotFoundError(f"table {snapshot_dir} has no committed snapshots")
         out = parts[0]
         for p in parts[1:]:
@@ -183,14 +200,16 @@ def prune_by_range(df: DataFrame, column: str, lo=None, hi=None) -> DataFrame:
     return out
 
 
-def check_integrity(snapshot_dir: str, as_of: int | None = None, filesystem=None) -> None:
+def check_integrity(
+    snapshot_dir: str, as_of: int | None = None, filesystem=None, since: int | None = None
+) -> None:
     """Every commit marker must have its data file (a marker without its
     file means a torn snapshot — fail loudly instead of decoding a
     silently-partial table)."""
     from . import table as table_mod
 
     if table_mod.is_table(snapshot_dir, filesystem):
-        for _, sdir in table_mod.snapshot_dirs(snapshot_dir, as_of, filesystem):
+        for _, sdir in table_mod.snapshot_dirs(snapshot_dir, as_of, filesystem, since):
             check_integrity(sdir, filesystem=filesystem)
         return
     fs, root = fsio.resolve(snapshot_dir, filesystem)
@@ -221,6 +240,8 @@ def decode(
     key_eq: tuple | None = None,
     row_range: tuple | None = None,
     filesystem=None,
+    since: int | None = None,
+    key_in: tuple | None = None,
 ) -> DataFrame:
     """Reassemble original rows from a snapshot — or a multi-snapshot
     table dir (``as_of`` time-travels to that snapshot id).
@@ -239,8 +260,17 @@ def decode(
     # metadata plane (markers/sidecars) through pyarrow.fs; the data
     # plane (chunks parquet) stays on Spark's own scan — pass a URI
     # Spark's Hadoop FS understands for non-local snapshots
-    check_integrity(snapshot_dir, as_of, filesystem)
-    lin = lineage(snapshot_dir, as_of, filesystem)
+    # ``since=k`` (table dirs): incremental read of snapshots (k, as_of]
+    # only — the CDC-style consumption a periodically-retrained pipeline
+    # uses; zero bytes of already-processed snapshots are touched
+    check_integrity(snapshot_dir, as_of, filesystem, since)
+    lin = lineage(snapshot_dir, as_of, filesystem, since)
+    if since is not None:
+        if "snapshots" not in lin:
+            raise ValueError("since= requires a multi-snapshot table dir")
+        if not lin["snapshots"]:
+            # empty window: schema comes from the full table, zero rows read
+            lin = lineage(snapshot_dir, as_of, filesystem)
     cols = columns or lin["columns"]
     schema_map = lin["schema"]
 
@@ -286,7 +316,7 @@ def decode(
     if unknown:
         raise KeyError(f"columns not in snapshot schema: {unknown} (have {sorted(schema_map)})")
 
-    df = chunks_df(spark, snapshot_dir, as_of)
+    df = chunks_df(spark, snapshot_dir, as_of, since)
     if row_spans is not None:
         df = df.filter(F.col("part_id").isin(list(row_spans)) if row_spans else F.lit(False))
     key_col = key_range[0] if key_range else None
@@ -323,10 +353,39 @@ def decode(
         # snapshots written without bloom filters fall through to the
         # residual equality filter (full scan, still correct)
 
+    if key_in is not None:
+        # IN-list point lookup: one bloom pass with ALL the probe hashes —
+        # a partition survives if ANY key might be present; the residual
+        # isin filter keeps the result exact. The batch-fetch path a
+        # training pipeline uses to pull N documents by id.
+        in_col, in_vals = key_in
+        hv_rows = (
+            spark.createDataFrame([(v,) for v in in_vals], f"`v` {schema_map[in_col]}")
+            .select(F.xxhash64(F.col("v")).alias("h"))
+            .collect()
+        )
+        probes = np.array([r["h"] for r in hv_rows], dtype=np.int64).view(np.uint64)
+
+        from ..plans import bloom as bloom_mod
+
+        @F.pandas_udf("boolean")
+        def might_any(b: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    True if bs is None else bool(bloom_mod.might_contain(bs, probes).any())
+                    for bs in b
+                ]
+            )
+
+        if "bloom" in df.columns:
+            keyed = df.filter(F.col("column") == in_col).filter(might_any(F.col("bloom")))
+            df = df.join(F.broadcast(keyed.select("part_id").distinct()), "part_id")
+
     need = sorted(
         set(cols)
         | ({key_col} if key_col else set())
         | ({key_eq[0]} if key_eq is not None else set())
+        | ({key_in[0]} if key_in is not None else set())
     )
     if "snapshots" in lin and lin["columns"]:
         # table with (possibly) evolved schema: anchor on the oldest
@@ -455,6 +514,8 @@ def decode(
     # the key column rides along for pruning; drop it unless requested
     if key_eq is not None:
         out = out.filter(F.col(key_eq[0]) == F.lit(key_eq[1]))
+    if key_in is not None:
+        out = out.filter(F.col(key_in[0]).isin(list(key_in[1])))
     if key_range is not None:
         # residual row filter: zone maps prune at chunk/page granularity,
         # this makes the result exact (not a page-aligned superset)

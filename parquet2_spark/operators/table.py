@@ -53,15 +53,20 @@ def read_manifest(table_dir: str, filesystem=None) -> dict | None:
 
 
 def snapshot_dirs(
-    table_dir: str, as_of: int | None = None, filesystem=None
+    table_dir: str, as_of: int | None = None, filesystem=None, since: int | None = None
 ) -> list[tuple[int, str]]:
-    """(snapshot id, absolute dir) for every committed snapshot ≤ as_of."""
+    """(snapshot id, absolute dir) for every committed snapshot in
+    ``(since, as_of]`` — the incremental-consumption window: a training
+    pipeline that processed up to snapshot k reads ``since=k`` next run
+    and touches only new data."""
     man = read_manifest(table_dir, filesystem)
     if man is None:
         raise FileNotFoundError(f"{table_dir} has no {MANIFEST}")
     out = []
     for s in man["snapshots"]:
         if as_of is not None and s["id"] > as_of:
+            continue
+        if since is not None and s["id"] <= since:
             continue
         out.append((s["id"], os.path.join(table_dir, s["dir"])))
     return sorted(out)
@@ -106,6 +111,18 @@ def append(
 
     lin = encode(spark, df, snap_dir, cfg, resume=resume)
 
+    # optimistic concurrency (Iceberg-style single-pointer commit): if
+    # another writer committed a snapshot while we encoded, our id — and
+    # therefore our snapshot DIRECTORY — may have been taken; committing
+    # would silently interleave two writers' files. Detect and refuse.
+    latest = read_manifest(table_dir, cfg.filesystem)
+    latest_ids = {s["id"] for s in (latest or man)["snapshots"]}
+    if next_id in latest_ids:
+        raise RuntimeError(
+            f"concurrent append detected: snapshot id {next_id} was committed "
+            f"by another writer while this append encoded — retry the append"
+        )
+    man = latest or man
     man["snapshots"].append(
         {
             "id": next_id,

@@ -199,3 +199,51 @@ def test_compact_after_schema_evolution(spark, tmp_path_factory):
     assert out.count() == 120
     assert out.filter(F.col("rank").isNull()).count() == 80
     assert out.filter(F.col("rank") >= 0).count() == 40
+
+
+def test_incremental_read_since(spark, table3):
+    """decode(since=k) reads only snapshots (k, current] — the CDC-style
+    consumption window for periodically-retrained pipelines."""
+    tdir, batches = table3
+    inc = decode_job.decode(spark, tdir, since=1)
+    assert inc.count() == 2 * BATCH
+    rep = validate.digest_frames(batches[1].unionByName(batches[2]), inc)
+    assert rep["bit_identical"], rep
+    # window combinable with as_of: exactly snapshot 2
+    only2 = decode_job.decode(spark, tdir, since=1, as_of=2)
+    rep2 = validate.digest_frames(batches[1], only2)
+    assert rep2["bit_identical"], rep2
+    # nothing new: empty result with intact schema, not an error
+    empty = decode_job.decode(spark, tdir, since=3)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"url", "warc_ts", "html", "text", "lang"}
+    # plain snapshot dirs reject since
+    with pytest.raises(ValueError):
+        decode_job.decode(spark, os.path.join(tdir, "snap-000001"), since=1)
+
+
+def test_concurrent_append_detected(spark, tmp_path_factory, monkeypatch):
+    """Optimistic concurrency: if another writer commits our snapshot id
+    while we encode, the commit is refused instead of interleaving files."""
+    import time as _time
+
+    tdir = str(tmp_path_factory.mktemp("tbl_race"))
+    b1 = _batch(spark, 1).cache(); b1.count()
+    append(spark, b1, tdir, _cfg())
+
+    orig_encode = table.encode
+
+    def racy_encode(*a, **k):
+        lin = orig_encode(*a, **k)
+        man = read_manifest(tdir)
+        man["snapshots"].append(
+            {"id": 2, "dir": "snap-000002-foreign", "rows": 1,
+             "raw_bytes": 1, "enc_bytes": 1, "created_unix": _time.time()}
+        )
+        man["current"] = 2
+        table._write_manifest(tdir, man)
+        return lin
+
+    monkeypatch.setattr(table, "encode", racy_encode)
+    with pytest.raises(RuntimeError, match="concurrent append"):
+        table.append(spark, _batch(spark, 2), tdir, _cfg())
