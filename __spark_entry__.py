@@ -251,6 +251,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("id_a", "id_b")
         )
 
+    def dedup_simhash_planted(spark, sf_dir):
+        """SimHash near-dup recall invariant: planted exact duplicates
+        have hamming distance 0, share every band, and MUST appear in the
+        banded candidate output."""
+        from parquet2_spark.operators.dedup import simhash_near_dup
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        planted = docs.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        pairs = simhash_near_dup(docs.unionByName(planted), max_hamming=0)
+        return pairs.filter((F.col("id_b") - F.col("id_a")) == 1_000_000).select(
+            "id_a", "id_b"
+        )
+
     def simhash_exact_dup_agreement(spark, sf_dir):
         """SimHash of byte-identical texts must be identical — the simhash
         twin of minhash_exact_dup_agreement (SQL-expressible invariant)."""
@@ -684,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_minhash_planted": dedup_minhash_planted,
         "dedup_simhash_sigs": dedup_simhash_sigs,
+        "dedup_simhash_planted": dedup_simhash_planted,
         "simhash_exact_dup_agreement": simhash_exact_dup_agreement,
         "embedding_near_dup": embedding_near_dup_q,
         "text_quality_docs": text_quality_docs,
@@ -882,6 +898,10 @@ FROM lineitem
         ),
         "simhash_exact_dup_agreement": (
             "SELECT doc_id, CAST(0 AS INT) AS sig_mismatches FROM documents"
+        ),
+        "dedup_simhash_planted": (
+            "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b "
+            "FROM documents WHERE doc_id < 20"
         ),
         "ann_ivf_full_probe": ann,
         "ann_brute_topk": ann,

@@ -133,6 +133,50 @@ def minhash_signatures(
     return df.select(F.col(id_col), sig(F.col(text_col)).alias("signature"))
 
 
+def _capped_candidates(
+    keyed: DataFrame, key_cols: list[str], id_col: str, bucket_cap: int
+) -> DataFrame:
+    """Distinct (id_a, id_b) candidate pairs from a self-join on
+    ``key_cols`` — the shared skew-hardened core of every LSH family here:
+
+    - the join ships only (id, *keys, shard); heavy columns (signatures,
+      vectors) are re-joined by the CALLER onto the deduped id pairs
+    - buckets over ``bucket_cap`` rows are salt-split into ceil(n/cap)
+      shards by xxhash64(id). The shard hash is key-independent on
+      purpose: a mega-cluster's candidate OUTPUT caps at ~all-pairs/shards
+      (the same pair sample under every key) instead of re-accumulating
+      the quadratic across bands/tables. Small buckets are never salted.
+    """
+    hot = (
+        keyed.groupBy(*key_cols)
+        .count()
+        .filter(F.col("count") > bucket_cap)
+        .select(
+            *key_cols, F.ceil(F.col("count") / bucket_cap).cast("int").alias("_shards")
+        )
+    )
+    sharded = (
+        keyed.join(F.broadcast(hot), key_cols, "left")
+        .withColumn(
+            "_shard",
+            F.when(
+                F.col("_shards").isNotNull(),
+                F.pmod(F.xxhash64(F.col(id_col)), F.col("_shards")),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_shards")
+    )
+    join_keys = [*key_cols, "_shard"]
+    left = sharded.select(F.col(id_col).alias("id_a"), *join_keys)
+    right = sharded.select(F.col(id_col).alias("id_b"), *join_keys)
+    return (
+        left.join(right, join_keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -177,32 +221,7 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    # hot-bucket census: map-side-combinable count, tiny result, broadcast
-    hot = (
-        banded.groupBy("band", "bucket")
-        .count()
-        .filter(F.col("count") > bucket_cap)
-        .select("band", "bucket", F.ceil(F.col("count") / bucket_cap).cast("int").alias("_shards"))
-    )
-    sharded = (
-        banded.join(F.broadcast(hot), ["band", "bucket"], "left")
-        .withColumn(
-            "_shard",
-            F.when(
-                F.col("_shards").isNotNull(),
-                F.pmod(F.xxhash64(F.col(id_col)), F.col("_shards")),
-            ).otherwise(F.lit(0)),
-        )
-        .drop("_shards")
-    )
-    left = sharded.select(F.col(id_col).alias("id_a"), "band", "bucket", "_shard")
-    right = sharded.select(F.col(id_col).alias("id_b"), "band", "bucket", "_shard")
-    pairs = (
-        left.join(right, ["band", "bucket", "_shard"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    pairs = _capped_candidates(banded, ["band", "bucket"], id_col, bucket_cap)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     est = F.aggregate(
@@ -249,6 +268,49 @@ def simhash_signatures(
         return pd.Series(out)
 
     return df.select(F.col(id_col), sig(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    bucket_cap: int = 4096,
+) -> DataFrame:
+    """Near-duplicate pairs by simhash hamming distance.
+
+    Classic simhash retrieval: split the 64-bit signature into ``bands``
+    contiguous bit ranges — any pair within hamming distance
+    ``bands - 1`` must agree exactly on at least one band (pigeonhole), so
+    candidates come from per-band equality joins (the same capped,
+    skew-hardened core as minhash LSH), then the exact popcount filter
+    keeps pairs with distance ≤ ``max_hamming``. All JVM-side:
+    shiftrightunsigned banding, xor + bit_count verification.
+    """
+    sigs = simhash_signatures(df, text_col, id_col).persist()
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = sigs.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    pairs = _capped_candidates(banded, ["band", "bucket"], id_col, bucket_cap)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def ngram_jaccard(
@@ -327,33 +389,7 @@ def embedding_near_dup(
         return pd.Series(list(keys))
 
     keyed = df.select(id_col, F.posexplode(buckets(F.col(vec_col))).alias("_table", "_bucket"))
-    hot = (
-        keyed.groupBy("_table", "_bucket")
-        .count()
-        .filter(F.col("count") > bucket_cap)
-        .select(
-            "_table", "_bucket", F.ceil(F.col("count") / bucket_cap).cast("int").alias("_shards")
-        )
-    )
-    sharded = (
-        keyed.join(F.broadcast(hot), ["_table", "_bucket"], "left")
-        .withColumn(
-            "_shard",
-            F.when(
-                F.col("_shards").isNotNull(),
-                F.pmod(F.xxhash64(F.col(id_col)), F.col("_shards")),
-            ).otherwise(F.lit(0)),
-        )
-        .drop("_shards")
-    )
-    left = sharded.select(F.col(id_col).alias("id_a"), "_table", "_bucket", "_shard")
-    right = sharded.select(F.col(id_col).alias("id_b"), "_table", "_bucket", "_shard")
-    pairs = (
-        left.join(right, ["_table", "_bucket", "_shard"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    pairs = _capped_candidates(keyed, ["_table", "_bucket"], id_col, bucket_cap)
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), norm.alias("n_a"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), norm.alias("n_b"))

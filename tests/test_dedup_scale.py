@@ -149,3 +149,36 @@ class TestTrainedIvf:
         c1 = similarity.train_centroids(clustered, n_buckets=8, iters=3)
         c2 = similarity.train_centroids(clustered, n_buckets=8, iters=3)
         assert np.array_equal(c1, c2)
+
+
+class TestSimhashNearDup:
+    def test_finds_near_dups_and_bounds_hamming(self, spark):
+        texts = []
+        planted = []
+        rng = np.random.default_rng(2024)
+        words = [f"word{i}" for i in range(400)]
+        for p in range(30):
+            base_words = rng.choice(words, size=120).tolist()
+            near_words = list(base_words)
+            near_words[5] = "CHANGED"  # one token differs → tiny hamming
+            planted.append((len(texts), len(texts) + 1))
+            texts += [" ".join(base_words), " ".join(near_words)]
+        for i in range(200):  # unrelated background
+            texts.append(" ".join(rng.choice(words, size=60).tolist()))
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        out = dedup.simhash_near_dup(df, max_hamming=6)
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+        found = sum((a, b) in got for a, b in planted)
+        assert found >= 0.8 * len(planted)  # banded recall on tiny-distance pairs
+        assert all(h <= 6 for h in got.values())
+
+    def test_identical_docs_hamming_zero(self, spark):
+        df = spark.createDataFrame(
+            [(0, "same text here"), (1, "same text here"), (2, "totally different words")],
+            "doc_id long, text string",
+        )
+        out = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in dedup.simhash_near_dup(df, max_hamming=0).collect()}
+        assert out == {(0, 1): 0}
