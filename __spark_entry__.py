@@ -266,6 +266,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id_a", "id_b"
         )
 
+    def multimodal_near_dup(spark, sf_dir):
+        """Composite multimodal pipeline: deterministic FAKE media →
+        nearest-neighbor resize → byte-histogram feature extraction →
+        embedding near-dup. Planted byte-identical copies (media_id +
+        10000) must come out as exactly the near-dup pairs (cosine 1.0);
+        random-noise images sit far below the threshold. Exercises the
+        real Spark plumbing (schemas, Arrow batches, UDF signatures) with
+        the codec step stubbed per environment."""
+        from parquet2_spark.operators.dedup import embedding_near_dup
+        from parquet2_spark.operators.multimodal import (
+            extract_features,
+            fake_media_df,
+            resize_images,
+        )
+
+        media = fake_media_df(spark, 200)
+        copies = media.filter(F.col("media_id") < 15).withColumn(
+            "media_id", F.col("media_id") + 10_000
+        )
+        pipeline = extract_features(resize_images(media.unionByName(copies), 16, 16))
+        vecs = pipeline.select(
+            F.col("media_id").alias("vec_id"),
+            F.col("features").cast("array<double>").alias("embedding"),
+        )
+        pairs = embedding_near_dup(vecs, threshold=0.99999, n_planes=8, n_tables=4)
+        return pairs.filter((F.col("id_b") - F.col("id_a")) == 10_000).select(
+            "id_a", "id_b"
+        )
+
     def simhash_exact_dup_agreement(spark, sf_dir):
         """SimHash of byte-identical texts must be identical — the simhash
         twin of minhash_exact_dup_agreement (SQL-expressible invariant)."""
@@ -700,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_planted": dedup_minhash_planted,
         "dedup_simhash_sigs": dedup_simhash_sigs,
         "dedup_simhash_planted": dedup_simhash_planted,
+        "multimodal_near_dup": multimodal_near_dup,
         "simhash_exact_dup_agreement": simhash_exact_dup_agreement,
         "embedding_near_dup": embedding_near_dup_q,
         "text_quality_docs": text_quality_docs,
@@ -902,6 +932,9 @@ FROM lineitem
         "dedup_simhash_planted": (
             "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b "
             "FROM documents WHERE doc_id < 20"
+        ),
+        "multimodal_near_dup": (
+            "SELECT r AS id_a, r + 10000 AS id_b FROM range(0, 15) t(r)"
         ),
         "ann_ivf_full_probe": ann,
         "ann_brute_topk": ann,
