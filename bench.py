@@ -210,6 +210,8 @@ def main() -> None:
     for name in (
         "rt_auto_lineitem",
         "rt_auto_events",
+        "rt_nested",
+        "rt_decimal",
         "dedup_exact_docs",
         "dedup_minhash_pairs",
         "text_quality_docs",
