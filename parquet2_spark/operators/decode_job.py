@@ -242,6 +242,7 @@ def decode(
     filesystem=None,
     since: int | None = None,
     key_in: tuple | None = None,
+    key_ranges: list | None = None,
 ) -> DataFrame:
     """Reassemble original rows from a snapshot — or a multi-snapshot
     table dir (``as_of`` time-travels to that snapshot id).
@@ -299,8 +300,8 @@ def decode(
     # (part_id asc, row-in-partition) — the encode job's write order.
     row_spans = None
     if row_range is not None:
-        if key_range is not None or key_eq is not None:
-            raise ValueError("row_range cannot combine with key_range/key_eq")
+        if key_range is not None or key_ranges or key_eq is not None:
+            raise ValueError("row_range cannot combine with key_range(s)/key_eq")
         if "partitions" not in lin:
             raise ValueError("row_range requires a single-snapshot dir (not a table)")
         start, stop = int(row_range[0]), int(row_range[1])
@@ -319,10 +320,18 @@ def decode(
     df = chunks_df(spark, snapshot_dir, as_of, since)
     if row_spans is not None:
         df = df.filter(F.col("part_id").isin(list(row_spans)) if row_spans else F.lit(False))
-    key_col = key_range[0] if key_range else None
+    # key_range (single) and key_ranges (multi, AND-combined) normalize to
+    # one predicate list; each predicate prunes partitions independently
+    # (intersection via chained broadcast semijoins), pages inside
+    # surviving chunks are pruned per column, residual filters make every
+    # predicate exact
+    preds = list(key_ranges or [])
     if key_range:
-        _, lo, hi = key_range
-        keyed = prune_by_range(df.filter(F.col("column") == key_col), key_col, lo, hi)
+        preds.append(key_range)
+    key_cols = [p[0] for p in preds]
+    key_col = key_cols[0] if key_cols else None
+    for pcol, lo, hi in preds:
+        keyed = prune_by_range(df.filter(F.col("column") == pcol), pcol, lo, hi)
         surviving = keyed.select("part_id").distinct()
         df = df.join(F.broadcast(surviving), "part_id")
     if key_eq is not None:
@@ -383,7 +392,7 @@ def decode(
 
     need = sorted(
         set(cols)
-        | ({key_col} if key_col else set())
+        | set(key_cols)
         | ({key_eq[0]} if key_eq is not None else set())
         | ({key_in[0]} if key_in is not None else set())
     )
@@ -430,7 +439,7 @@ def decode(
         v = _zone_bound(v)
         return v.decode("utf-8", "replace") if isinstance(v, (bytes, bytearray)) else v
 
-    kr = (key_range[0], _page_bound(key_range[1]), _page_bound(key_range[2])) if key_range else None
+    krs = [(p[0], _page_bound(p[1]), _page_bound(p[2])) for p in preds]
 
     def rebuild(tbl: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -443,21 +452,24 @@ def decode(
         # across a partition's columns, so the same subset keeps columns
         # consistent) — the IndexedPageReader/select_pages analog.
         page_keep = None
-        if kr is not None:
-            kcol, lo, hi = kr
+        for kcol, lo, hi in krs:
+            if kcol not in names:
+                continue  # column absent in this (older) partition
             idx = names.index(kcol)
             mins = json.loads(tbl.column("page_mins")[idx].as_py())
             maxs = json.loads(tbl.column("page_maxs")[idx].as_py())
             as_str = isinstance(lo, str) or isinstance(hi, str)
-            page_keep = set()
+            keep = set()
             for i, (mn, mx) in enumerate(zip(mins, maxs)):
                 if mn is None or mx is None:
-                    page_keep.add(i)  # no stats → cannot prune
+                    keep.add(i)  # no stats → cannot prune
                     continue
                 if as_str:
                     mn, mx = str(mn), str(mx)
                 if (hi is None or mn <= hi) and (lo is None or mx >= lo):
-                    page_keep.add(i)
+                    keep.add(i)
+            # AND across predicates: a page must survive every range
+            page_keep = keep if page_keep is None else (page_keep & keep)
 
         span = None
         if row_spans is not None:
@@ -516,13 +528,12 @@ def decode(
         out = out.filter(F.col(key_eq[0]) == F.lit(key_eq[1]))
     if key_in is not None:
         out = out.filter(F.col(key_in[0]).isin(list(key_in[1])))
-    if key_range is not None:
-        # residual row filter: zone maps prune at chunk/page granularity,
-        # this makes the result exact (not a page-aligned superset)
-        _, lo, hi = key_range
-        ddl = schema_map[key_col]
+    for pcol, lo, hi in preds:
+        # residual row filters: zone maps prune at chunk/page granularity,
+        # these make every range exact (not a page-aligned superset)
+        ddl = schema_map[pcol]
 
-        def _bound(v):
+        def _bound(v, ddl=ddl):
             # ints against timestamp/date columns mean micros/days (the
             # zone-map storage units) — type the literal to match
             if isinstance(v, bool) or not isinstance(v, int):
@@ -534,7 +545,7 @@ def decode(
             return F.lit(v)
 
         if lo is not None:
-            out = out.filter(F.col(key_col) >= _bound(lo))
+            out = out.filter(F.col(pcol) >= _bound(lo))
         if hi is not None:
-            out = out.filter(F.col(key_col) <= _bound(hi))
+            out = out.filter(F.col(pcol) <= _bound(hi))
     return out.select(*cols)

@@ -102,3 +102,22 @@ class TestDecimalZoneMaps:
         ks = sorted(r["k"] for r in out.collect())
         want = [i for i in range(4000) if d.Decimal("10.25") <= d.Decimal(i * 25) / 100 <= d.Decimal("99.75")]
         assert ks == want
+
+
+def test_multi_predicate_key_ranges(spark, float_snap):
+    """AND-combined zone-map predicates: partitions pruned per predicate
+    (semijoin intersection), pages per column, residuals exact."""
+    out = decode_job.decode(
+        spark, float_snap,
+        key_ranges=[("k", 500, 1500), ("score", 100.0, 150.0)],
+    )
+    got = sorted(r["k"] for r in out.collect())
+    want = [i for i in range(4000) if 500 <= i <= 1500 and 100.0 <= i / 7.0 <= 150.0]
+    assert got == want
+
+    # disjoint predicates -> empty, typed
+    empty = decode_job.decode(
+        spark, float_snap, key_ranges=[("k", 0, 100), ("k", 3000, 3100)]
+    )
+    assert empty.count() == 0
+    assert "score" in empty.columns
