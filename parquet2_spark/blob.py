@@ -218,7 +218,9 @@ def _decode_nested(buf: memoryview, m: int, field_filter=None) -> pa.Array:
     tag = buf[0]
     if tag == _NT_LIST:
         lens, pos = delta.decode_consumed(buf[1:])
-        child, _ = decode_page(buf[1:], pos)
+        # field_filter recurses into a struct child (list<struct> field
+        # projection); non-nested children ignore it
+        child, _ = decode_page(buf[1:], pos, field_filter=field_filter)
         return pa.ListArray.from_arrays(_offsets32(lens), child)
     if tag == _NT_MAP:
         lens, pos = delta.decode_consumed(buf[1:])

@@ -418,17 +418,29 @@ def decode(
     if field_sel:
         from pyspark.sql import types as T
 
+        def _prune_struct(st: "T.StructType", sel: set) -> "T.StructType":
+            have = {sf.name for sf in st.fields}
+            missing = sel - have
+            if missing:
+                raise KeyError(f"struct has no fields {sorted(missing)}")
+            return T.StructType([sf for sf in st.fields if sf.name in sel])
+
         pruned = []
         for f in stype.fields:
             if f.name in field_sel:
-                if not isinstance(f.dataType, T.StructType):
-                    raise TypeError(f"{f.name} is not a struct — cannot project fields")
-                have = {sf.name for sf in f.dataType.fields}
-                missing = field_sel[f.name] - have
-                if missing:
-                    raise KeyError(f"{f.name} has no fields {sorted(missing)}")
-                kept = [sf for sf in f.dataType.fields if sf.name in field_sel[f.name]]
-                f = T.StructField(f.name, T.StructType(kept), f.nullable)
+                dt = f.dataType
+                if isinstance(dt, T.StructType):
+                    dt = _prune_struct(dt, field_sel[f.name])
+                elif isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
+                    dt = T.ArrayType(
+                        _prune_struct(dt.elementType, field_sel[f.name]),
+                        dt.containsNull,
+                    )
+                else:
+                    raise TypeError(
+                        f"{f.name} is not a struct or array<struct> — cannot project fields"
+                    )
+                f = T.StructField(f.name, dt, f.nullable)
             pruned.append(f)
         stype = T.StructType(pruned)
     out_schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in stype.fields)

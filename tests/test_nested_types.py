@@ -286,3 +286,25 @@ def test_digest_validate_nested_snapshot(spark, tmp_path_factory):
                         host_from_key=False))
     rep = validate.digest_frames(df, decode_job.decode(spark, snap))
     assert rep["bit_identical"], rep
+
+
+def test_list_struct_field_projection(spark, tmp_path_factory):
+    """Dotted projection into array<struct>: only selected element fields
+    are decoded, sibling fields' pages skipped inside the list child."""
+    from parquet2_spark.operators import decode_job
+    from parquet2_spark.operators.encode_job import EncodeConfig, encode
+
+    rows = [
+        (i, [{"q": i * 10 + j, "blob": "Z" * 200} for j in range(i % 4)])
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, entries array<struct<q:bigint, blob:string>>")
+    snap = str(tmp_path_factory.mktemp("snap_lsproj"))
+    encode(spark, df, snap,
+           EncodeConfig(target_rows=250, page_rows=100, sort_by="id", key="id",
+                        host_from_key=False))
+    out = decode_job.decode(spark, snap, columns=["id", "entries.q"])
+    assert dict(out.dtypes)["entries"] == "array<struct<q:bigint>>"
+    got = sorted((r["id"], tuple(e["q"] for e in r["entries"])) for r in out.collect())
+    want = sorted((i, tuple(i * 10 + j for j in range(i % 4))) for i in range(500))
+    assert got == want
