@@ -66,6 +66,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="row-interval read through the page offset index")
     sp.add_argument("--as-of", type=int, default=None,
                     help="time-travel to this snapshot id (table dirs)")
+    sp.add_argument("--key-in", default=None, metavar="COL:V1,V2,...",
+                    help="bloom-assisted IN-list fetch (exact)")
+    sp.add_argument("--since", type=int, default=None,
+                    help="incremental read: only snapshots > this id (table dirs)")
     sp = sub.add_parser("validate")
     sp.add_argument("input")
     sp.add_argument("snapshot")
@@ -154,9 +158,21 @@ def main(argv: list[str] | None = None) -> int:
         if args.row_range:
             a, b = args.row_range.split(":", 1)
             row_range = (int(a), int(b))
+        key_in = None
+        if args.key_in:
+            col, vals = args.key_in.split(":", 1)
+
+            def _v(s):
+                try:
+                    return int(s)
+                except ValueError:
+                    return s
+
+            key_in = (col, [_v(v) for v in vals.split(",")])
         decode_job.decode(
             spark, args.snapshot, columns=cols, key_range=key_range,
-            row_range=row_range, as_of=args.as_of,
+            row_range=row_range, as_of=args.as_of, key_in=key_in,
+            since=args.since,
         ).write.mode("overwrite").parquet(args.output)
         print(f"wrote {args.output}")
         return 0

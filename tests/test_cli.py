@@ -104,3 +104,20 @@ def test_cli_decode_key_and_row_range(spark, tmp_path_factory):
     out2 = str(tmp_path_factory.mktemp("cli_out2")) + "/o"
     assert cli.main(["decode", snap, out2, "--row-range", "10:25"]) == 0
     assert spark.read.parquet(out2).count() == 15
+
+
+def test_cli_decode_key_in(spark, tmp_path_factory):
+    from parquet2_spark import cli
+    from parquet2_spark.operators.encode_job import EncodeConfig, encode
+
+    snap = str(tmp_path_factory.mktemp("cli_kin"))
+    df = spark.range(300).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("s")
+    )
+    encode(spark, df, snap,
+           EncodeConfig(target_rows=100, page_rows=50, sort_by="k", key="k",
+                        host_from_key=False, bloom_columns=("k",)))
+    out = str(tmp_path_factory.mktemp("cli_kin_out")) + "/o"
+    assert cli.main(["decode", snap, out, "--key-in", "k:5,55,155"]) == 0
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got == [5, 55, 155]
