@@ -499,10 +499,26 @@ def encode_page(
     # nested children already carry their own outer compression — an outer
     # layer here would re-compress compressed bytes for no gain
     if cfg.outer and raw_size >= cfg.outer_min_bytes and kind != "nested":
-        compressed = block.compress(enc, cfg.outer, cfg.outer_level)
+        if cfg.outer_candidates and len(cfg.outer_candidates) > 1:
+            # per-page candidate measurement: this path is reached by the
+            # CHILD pages of nested chunks (flat chunks fix their winner
+            # once at chunk level and clear the candidate list) — so the
+            # speed profile covers the whole type lattice
+            sizes = {
+                name: block.compress(enc, name, cfg.outer_level if name == "zstd" else None)
+                for name in cfg.outer_candidates
+            }
+            best = min(len(z) for z in sizes.values())
+            chosen = min(
+                (n for n, z in sizes.items() if len(z) <= best * (1 + cfg.outer_slack)),
+                key=lambda n: (sel.OUTER_COST_RANK.get(n, 9), len(sizes[n])),
+            )
+            compressed, outer_name = sizes[chosen], chosen
+        else:
+            compressed, outer_name = block.compress(enc, cfg.outer, cfg.outer_level), cfg.outer
         if len(compressed) <= raw_size * cfg.outer_min_gain:
             payload = compressed
-            outer_id = block.CODEC_NAMES[cfg.outer]
+            outer_id = block.CODEC_NAMES[outer_name]
 
     parts = [
         bytes([code, codec, outer_id]),
@@ -715,6 +731,16 @@ def encode_chunk(
                 if ps.nonnull and ps.min != ps.max:
                     chunk_codec = select_codec(p, cfg)
                     break
+            if chunk_codec == FSST and not sample:
+                # the constant probe skipped FSST sampling — rebuild the
+                # shared-table sample from the non-constant pages so every
+                # page uses one chunk-level table, not inline per-page ones
+                for p in pages:
+                    vals = p.drop_null() if p.null_count else p
+                    if len(vals):
+                        sample += barray.from_arrow(vals)[1][: fsst.DEFAULT_SAMPLE]
+                    if len(sample) >= fsst.DEFAULT_SAMPLE:
+                        break
 
     aux = b""
     if chunk_codec == FSST and sample:
@@ -749,8 +775,13 @@ def encode_chunk(
                 )
                 from dataclasses import replace as _replace
 
+                # fix the winner for every page of this flat chunk (and
+                # clear the candidate list so pages skip re-measuring)
                 cfg = _replace(
-                    cfg, outer=chosen, outer_level=cfg.outer_level if chosen == "zstd" else None
+                    cfg,
+                    outer=chosen,
+                    outer_level=cfg.outer_level if chosen == "zstd" else None,
+                    outer_candidates=(),
                 )
 
     blobs: list[bytes] = []

@@ -138,22 +138,30 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.cmd == "decode":
         cols = args.columns.split(",") if args.columns else None
+        # bound typing follows the SNAPSHOT SCHEMA, not the text shape —
+        # "00123" against a string key column must stay a string
+        schema = decode_job.lineage(args.snapshot)["schema"]
+        _NUMERIC = {"bigint", "int", "smallint", "tinyint", "long"}
+        _FLOATING = {"double", "float"}
+
+        def _typed(col: str, s: str):
+            if s == "":
+                return None
+            ddl = schema.get(col, "string")
+            if ddl in _NUMERIC:
+                return int(s)
+            if ddl in _FLOATING:
+                return float(s)
+            if ddl == "timestamp" and s.lstrip("-").isdigit():
+                return int(s)  # epoch micros (the zone-map unit)
+            if ddl == "date" and s.lstrip("-").isdigit():
+                return int(s)  # days since epoch
+            return s
+
         key_range = None
         if args.key_range:
             col, lo, hi = args.key_range.split(":", 2)
-
-            def _b(s):
-                if s == "":
-                    return None
-                try:
-                    return int(s)
-                except ValueError:
-                    try:
-                        return float(s)
-                    except ValueError:
-                        return s
-
-            key_range = (col, _b(lo), _b(hi))
+            key_range = (col, _typed(col, lo), _typed(col, hi))
         row_range = None
         if args.row_range:
             a, b = args.row_range.split(":", 1)
@@ -161,14 +169,7 @@ def main(argv: list[str] | None = None) -> int:
         key_in = None
         if args.key_in:
             col, vals = args.key_in.split(":", 1)
-
-            def _v(s):
-                try:
-                    return int(s)
-                except ValueError:
-                    return s
-
-            key_in = (col, [_v(v) for v in vals.split(",")])
+            key_in = (col, [_typed(col, v) for v in vals.split(",")])
         decode_job.decode(
             spark, args.snapshot, columns=cols, key_range=key_range,
             row_range=row_range, as_of=args.as_of, key_in=key_in,

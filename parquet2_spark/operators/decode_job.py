@@ -26,8 +26,9 @@ from .. import blob, fsio
 # Lineage stores df.dtypes simpleStrings, which are valid Spark DDL for
 # the whole type lattice ("bigint", "array<string>", "struct<a:int>",
 # "map<string,bigint>", "decimal(12,2)") — they pass straight through to
-# applyInArrow output schemas and .cast(); pyarrow expectations come from
-# schema.ddl_to_pa_types (recursive, driver-side).
+# applyInArrow output schemas and .cast(); pyarrow expectations are
+# derived driver-side in decode() (DDL → StructType → schema.spark_type_to_pa,
+# with struct-field pruning for dotted projections).
 
 
 def lineage(snapshot_dir: str, as_of: int | None = None, filesystem=None, since: int | None = None) -> dict:
@@ -77,7 +78,11 @@ _CHUNKS_DDL = (
 
 
 def chunks_df(
-    spark: SparkSession, snapshot_dir: str, as_of: int | None = None, since: int | None = None
+    spark: SparkSession,
+    snapshot_dir: str,
+    as_of: int | None = None,
+    since: int | None = None,
+    filesystem=None,
 ) -> DataFrame:
     """The chunks table (metadata + payload). Stats queries should select
     only metadata columns — parquet column pruning then never touches the
@@ -86,9 +91,12 @@ def chunks_df(
     never collide across snapshots."""
     from . import table as table_mod
 
-    if table_mod.is_table(snapshot_dir):
+    # manifest reads go through pyarrow.fs; the chunk parquet itself is
+    # read by Spark's own scan, so for a non-local filesystem the
+    # snapshot paths must also be Spark-readable URIs (S3A/HDFS)
+    if table_mod.is_table(snapshot_dir, filesystem):
         parts = []
-        for sid, sdir in table_mod.snapshot_dirs(snapshot_dir, as_of, since=since):
+        for sid, sdir in table_mod.snapshot_dirs(snapshot_dir, as_of, filesystem, since):
             d = spark.read.parquet(os.path.join(sdir, "chunks"))
             parts.append(
                 d.withColumn(
@@ -317,7 +325,7 @@ def decode(
     if unknown:
         raise KeyError(f"columns not in snapshot schema: {unknown} (have {sorted(schema_map)})")
 
-    df = chunks_df(spark, snapshot_dir, as_of, since)
+    df = chunks_df(spark, snapshot_dir, as_of, since, filesystem)
     if row_spans is not None:
         df = df.filter(F.col("part_id").isin(list(row_spans)) if row_spans else F.lit(False))
     # key_range (single) and key_ranges (multi, AND-combined) normalize to
@@ -547,7 +555,15 @@ def decode(
 
         def _bound(v, ddl=ddl):
             # ints against timestamp/date columns mean micros/days (the
-            # zone-map storage units) — type the literal to match
+            # zone-map storage units) — type the literal to match. Naive
+            # datetimes are UTC instants everywhere in this engine (the
+            # zone maps store UTC micros); F.lit(naive_datetime) would be
+            # read in the SESSION timezone instead, silently shifting the
+            # residual window — route through the same micros conversion.
+            import datetime as _dt
+
+            if isinstance(v, _dt.datetime) and v.tzinfo is None:
+                return F.timestamp_micros(F.lit(_zone_bound(v)))
             if isinstance(v, bool) or not isinstance(v, int):
                 return F.lit(v)
             if ddl == "timestamp":

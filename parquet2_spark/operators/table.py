@@ -72,6 +72,30 @@ def snapshot_dirs(
     return sorted(out)
 
 
+def _staging_dir_for(fs, root: str, man: dict, next_id: int) -> str:
+    """Snapshot staging-dir name for ``next_id``.
+
+    A crashed append left an orphan (encoded but never committed) dir for
+    this id — adopt it so the retry resumes instead of re-encoding
+    (committed partitions are skipped by the encode job's markers). No
+    orphan → a fresh uuid-suffixed name, so two LIVE writers racing on
+    the same id can never write into each other's files; only the first
+    manifest commit wins.
+    """
+    import uuid as _uuid
+
+    committed = {s["dir"] for s in man["snapshots"]}
+    prefix = f"snap-{next_id:06d}"
+    orphans = sorted(
+        d
+        for d in fsio.listdir(fs, root)
+        if d.startswith(prefix) and d not in committed and fsio.is_dir(fs, fsio.join(root, d))
+    )
+    if orphans:
+        return orphans[0]
+    return f"{prefix}-{_uuid.uuid4().hex[:8]}"
+
+
 def append(
     spark: SparkSession,
     df: DataFrame,
@@ -106,15 +130,16 @@ def append(
                 f"adding new columns is supported (additive evolution)"
             )
     next_id = (max((s["id"] for s in man["snapshots"]), default=0)) + 1
-    snap_name = f"snap-{next_id:06d}"
+    snap_name = _staging_dir_for(fs, root, man, next_id)
     snap_dir = os.path.join(table_dir, snap_name)
 
     lin = encode(spark, df, snap_dir, cfg, resume=resume)
 
-    # optimistic concurrency (Iceberg-style single-pointer commit): if
-    # another writer committed a snapshot while we encoded, our id — and
-    # therefore our snapshot DIRECTORY — may have been taken; committing
-    # would silently interleave two writers' files. Detect and refuse.
+    # optimistic concurrency (Iceberg-style single-pointer commit): two
+    # live writers encode into DIFFERENT uuid-suffixed staging dirs, so
+    # neither can touch the other's files; the first manifest replace
+    # wins, the loser is refused here (its orphan dir is garbage, and a
+    # retried append with a NEW id adopts or ignores it safely).
     latest = read_manifest(table_dir, cfg.filesystem)
     latest_ids = {s["id"] for s in (latest or man)["snapshots"]}
     if next_id in latest_ids:
@@ -166,10 +191,11 @@ def compact(
         raise FileNotFoundError(f"{table_dir}: nothing to compact")
     old = snapshot_dirs(table_dir, filesystem=cfg.filesystem)
     next_id = max(s["id"] for s in man["snapshots"]) + 1
-    snap_name = f"snap-{next_id:06d}"
+    fs, root = fsio.resolve(table_dir, cfg.filesystem)
+    snap_name = _staging_dir_for(fs, root, man, next_id)
     snap_dir = os.path.join(table_dir, snap_name)
 
-    df = decode_job.decode(spark, table_dir)
+    df = decode_job.decode(spark, table_dir, filesystem=cfg.filesystem)
     lin = encode(spark, df, snap_dir, cfg, resume=True)
 
     new_man = {

@@ -66,11 +66,3 @@ def spark_type_to_pa(dt, ts_tz: str | None = None) -> pa.DataType:
 
 def df_to_pa_schema(df) -> pa.Schema:
     return pa.schema([(f.name, spark_type_to_pa(f.dataType)) for f in df.schema.fields])
-
-
-def ddl_to_pa_types(spark, ddl_map: dict[str, str], cols, ts_tz: str | None = None) -> dict:
-    """Lineage DDL strings (``df.dtypes`` simpleStrings) → pyarrow types,
-    resolved via a throwaway empty DataFrame (driver-side, no job runs)."""
-    ddl = ", ".join(f"`{c}` {ddl_map[c]}" for c in cols)
-    stype = spark.createDataFrame([], ddl).schema
-    return {f.name: spark_type_to_pa(f.dataType, ts_tz=ts_tz) for f in stype.fields}

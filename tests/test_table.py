@@ -218,8 +218,9 @@ def test_incremental_read_since(spark, table3):
     assert empty.count() == 0
     assert set(empty.columns) == {"url", "warc_ts", "html", "text", "lang"}
     # plain snapshot dirs reject since
+    snap1 = read_manifest(tdir)["snapshots"][0]["dir"]
     with pytest.raises(ValueError):
-        decode_job.decode(spark, os.path.join(tdir, "snap-000001"), since=1)
+        decode_job.decode(spark, os.path.join(tdir, snap1), since=1)
 
 
 def test_concurrent_append_detected(spark, tmp_path_factory, monkeypatch):
