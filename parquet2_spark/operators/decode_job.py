@@ -414,11 +414,13 @@ def decode(
         "part_id", "column", "payload", "page_mins", "page_maxs", "page_rows"
     )
 
-    session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
-    # the exact arrow types Spark expects back (tz-aware timestamps, also
-    # nested inside struct/list/map) — computed driver-side, pickled in;
-    # struct types are pruned to the selected fields here so the UDF's
-    # output schema and the blob-level field_filter agree
+    # the exact arrow types Spark expects back — Spark's Arrow exchange
+    # carries TimestampType as tz-aware UTC regardless of
+    # spark.sql.session.timeZone (the session tz only affects rendering),
+    # and blob stores UTC-epoch micros, so the cast is value-preserving.
+    # Struct types are pruned to the selected fields here so the UDF's
+    # output schema and the blob-level field_filter agree.
+    session_tz = "UTC"
     from ..schema import spark_type_to_pa
 
     ddl_full = ", ".join(f"`{c}` {schema_map[c]}" for c in need)

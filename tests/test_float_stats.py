@@ -121,3 +121,28 @@ def test_multi_predicate_key_ranges(spark, float_snap):
     )
     assert empty.count() == 0
     assert "score" in empty.columns
+
+
+def test_key_range_naive_datetime_non_utc_session(spark, tmp_path_factory):
+    """Naive-datetime bounds are UTC instants (the zone maps' unit): the
+    residual filter must not reinterpret them in the session timezone."""
+    import datetime as dt
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.timestamp_micros(F.col("id") * 60_000_000 + 1_700_000_000_000_000).alias("ts"),
+    )
+    snap = str(tmp_path_factory.mktemp("snap_tz"))
+    encode(spark, df.repartitionByRange(4, "k"), snap,
+           EncodeConfig(target_rows=250, page_rows=100, sort_by="k", key="k",
+                        host_from_key=False, shuffle=False))
+    lo = dt.datetime.utcfromtimestamp(1_700_000_000 + 100 * 60)
+    hi = dt.datetime.utcfromtimestamp(1_700_000_000 + 200 * 60)
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        out = decode_job.decode(spark, snap, key_range=("ts", lo, hi))
+        ks = sorted(r["k"] for r in out.collect())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    assert ks == list(range(100, 201))
