@@ -295,8 +295,8 @@ def _encode_partition_arrow(
                 "max_dbl": max_dbl,
                 "ndv": int(meta.ndv_hint),
                 "page_rows": json.dumps(meta.page_rows),
-                "page_mins": json.dumps([_jstat(v) for v in meta.page_mins]),
-                "page_maxs": json.dumps([_jstat(v) for v in meta.page_maxs]),
+                "page_mins": json.dumps([_jstat(v, round_up=False) for v in meta.page_mins]),
+                "page_maxs": json.dumps([_jstat(v, round_up=True) for v in meta.page_maxs]),
                 "bloom": bloom_bytes,
                 "payload": payload,
             }
@@ -336,9 +336,12 @@ def _encode_partition_arrow(
     return pa.Table.from_pylist(metric_rows, schema=METRICS_PA_SCHEMA)
 
 
-def _jstat(v):
+def _jstat(v, round_up: bool = False):
     """Page zone-map value → json: timestamps as int micros (comparable to
-    numeric key ranges), bytes as utf-8 text, numbers as-is."""
+    numeric key ranges), bytes as utf-8 text, numbers as-is. Decimals
+    become CONSERVATIVE floats — mins rounded one ulp down
+    (``round_up=False``), maxs one ulp up — so page pruning only ever
+    widens the range (same rule as the chunk-level dbl zone map)."""
     import datetime as _dt
 
     if isinstance(v, _dt.datetime):
@@ -353,10 +356,9 @@ def _jstat(v):
     import decimal as _decimal
 
     if isinstance(v, _decimal.Decimal):
-        # page-level decimal stats are dropped (json has no exact decimal;
-        # a nearest-float would need per-direction rounding) — pages with
-        # missing stats are always KEPT, chunk-level dbl bounds still prune
-        return None
+        import math
+
+        return math.nextafter(float(v), math.inf if round_up else -math.inf)
     return v
 
 
