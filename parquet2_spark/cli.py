@@ -56,6 +56,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("table")
     sp.add_argument("--target-rows", type=int, default=131_072)
     sp.add_argument("--page-rows", type=int, default=8_192)
+    sp = sub.add_parser("compact")
+    sp.add_argument("table")
+    sp.add_argument("--keep-old", action="store_true",
+                    help="keep old snapshot dirs (external time-travel archival)")
     sp = sub.add_parser("decode")
     sp.add_argument("snapshot")
     sp.add_argument("output")
@@ -135,6 +139,17 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+    if args.cmd == "compact":
+        from .operators.table import compact, read_manifest
+
+        lin = compact(spark, args.table, keep_old=args.keep_old)
+        man = read_manifest(args.table)
+        print(json.dumps({
+            "snapshot_id": man["current"],
+            "rows": lin["rows"],
+            "enc_bytes": lin["enc_bytes"],
+        }))
         return 0
     if args.cmd == "decode":
         cols = args.columns.split(",") if args.columns else None

@@ -185,7 +185,13 @@ def compact(
     external time-travel archival)."""
     from . import decode_job
 
-    cfg = cfg or EncodeConfig()
+    if cfg is None:
+        # derive a schema-appropriate default: key/sort on the table's
+        # first column, no host bucketing (the url-specific default would
+        # fail on tables without a url column)
+        lin0 = decode_job.lineage(table_dir)
+        first = lin0["columns"][0]
+        cfg = EncodeConfig(key=first, sort_by=first, host_from_key=False)
     man = read_manifest(table_dir, cfg.filesystem)
     if man is None or not man["snapshots"]:
         raise FileNotFoundError(f"{table_dir}: nothing to compact")

@@ -121,3 +121,22 @@ def test_cli_decode_key_in(spark, tmp_path_factory):
     assert cli.main(["decode", snap, out, "--key-in", "k:5,55,155"]) == 0
     got = sorted(r["k"] for r in spark.read.parquet(out).collect())
     assert got == [5, 55, 155]
+
+
+def test_cli_compact(spark, tmp_path_factory):
+    import json as _json
+
+    from parquet2_spark import cli
+    from parquet2_spark.operators import table as table_mod
+    from parquet2_spark.operators.encode_job import EncodeConfig
+
+    tdir = str(tmp_path_factory.mktemp("cli_cmp"))
+    cfg = EncodeConfig(target_rows=64, key="k", host_from_key=False)
+    for lo in (0, 100):
+        df = spark.range(lo, lo + 100).select(F.col("id").alias("k"))
+        table_mod.append(spark, df, tdir, cfg)
+    assert cli.main(["compact", tdir]) == 0
+    man = table_mod.read_manifest(tdir)
+    assert len(man["snapshots"]) == 1
+    from parquet2_spark.operators import decode_job
+    assert decode_job.decode(spark, tdir).count() == 200
