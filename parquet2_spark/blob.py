@@ -934,4 +934,6 @@ def decode_chunk_rows(
         out.append(arr.slice(lo, hi - lo))
     if not out:
         raise ValueError(f"row interval [{row_start}, {end}) outside chunk")
-    return out[0] if len(out) == 1 else pa.concat_arrays(out)
+    # concat_pages, not raw concat_arrays: a >2 GiB page decodes as
+    # large_binary/large_string while small siblings stay 32-bit
+    return concat_pages(out)

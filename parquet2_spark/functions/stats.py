@@ -80,6 +80,17 @@ def compute(arr: pa.Array, full: bool = True, vals: pa.Array | None = None) -> B
         st.ndv = len(pc.unique(vals))
     mm = pc.min_max(vals)
     st.min, st.max = mm["min"].as_py(), mm["max"].as_py()
+    if pa.types.is_floating(vals.type) and st.min is not None:
+        # pc.min_max SKIPS NaN, but Spark orders NaN above every double —
+        # a NaN-bearing page must not be pruned by an upper-open range
+        # (x >= lo matches NaN rows). Widen max to +inf when any NaN is
+        # present; an all-NaN page (min_max returns inverted +inf/-inf)
+        # stores [+inf, +inf]: only ≤-bounded predicates prune it, and NaN
+        # rows never satisfy those, so pruning stays sound.
+        if st.min > st.max:  # all-NaN
+            st.min, st.max = float("inf"), float("inf")
+        elif pc.any(pc.is_nan(vals)).as_py():
+            st.max = float("inf")
 
     if pa.types.is_binary(vals.type) or pa.types.is_string(vals.type) or pa.types.is_large_string(vals.type):
         st.raw_bytes = int(pc.sum(pc.binary_length(vals)).as_py() or 0)

@@ -123,38 +123,85 @@ def chunks_df(
 def stats(spark: SparkSession, snapshot_dir: str) -> DataFrame:
     """Per (column, codec) aggregate — the `parquet-tools meta` analog."""
     df = chunks_df(spark, snapshot_dir)
-    return (
-        df.groupBy("column", "codecs")
-        .agg(
-            F.count("*").alias("n_chunks"),
-            F.sum("n_rows").alias("rows"),
-            F.sum("null_count").alias("nulls"),
-            F.sum("raw_bytes").alias("raw_bytes"),
-            F.sum("enc_bytes").alias("enc_bytes"),
-            F.min("min_num").alias("min_num"),
-            F.max("max_num").alias("max_num"),
-            F.min("min_bin").alias("min_bin"),
-            F.max("max_bin").alias("max_bin"),
-            F.min("min_dbl").alias("min_dbl"),
-            F.max("max_dbl").alias("max_dbl"),
-            F.max("ndv").alias("ndv_hint"),
+    aggs = [
+        F.count("*").alias("n_chunks"),
+        F.sum("n_rows").alias("rows"),
+        F.sum("null_count").alias("nulls"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("enc_bytes").alias("enc_bytes"),
+        F.min("min_num").alias("min_num"),
+        F.max("max_num").alias("max_num"),
+        F.min("min_bin").alias("min_bin"),
+        F.max("max_bin").alias("max_bin"),
+    ]
+    # stat columns added after round 1 — aggregate only what this
+    # snapshot's chunk parquet actually has, so old snapshots keep working
+    if "min_dbl" in df.columns:
+        aggs += [F.min("min_dbl").alias("min_dbl"), F.max("max_dbl").alias("max_dbl")]
+    if "ndv" in df.columns:
+        aggs.append(F.max("ndv").alias("ndv_hint"))
+    if "ndv_hll" in df.columns:
+        from ..plans import hll as hll_mod
+
+        aggs.append(hll_mod.merge_agg(F.col("ndv_hll")).alias("ndv_sketch"))
+    out = df.groupBy("column", "codecs").agg(*aggs)
+    if "ndv_hll" in df.columns:
+        out = out.withColumn("ndv_est", hll_mod.estimate_col(F.col("ndv_sketch"))).drop(
+            "ndv_sketch"
         )
-        .orderBy("column", "codecs")
-    )
+    return out.orderBy("column", "codecs")
 
 
 def _zone_bound(v):
     """Normalize a user-supplied range bound to the zone map's storage
     unit (mirrors encode_job._stat_cols.as_num): datetime → micros,
-    date → days-since-epoch; everything else passes through."""
+    date → days-since-epoch; everything else passes through.
+
+    tz-aware datetimes convert via ``astimezone(utc)`` + exact timedelta
+    integer division — NOT ``datetime(1970,1,1, tzinfo=v.tzinfo)``, whose
+    epoch under pytz zones carries an LMT offset that skews the micros by
+    minutes (false pruning at range boundaries)."""
     import datetime as _dt
 
     if isinstance(v, _dt.datetime):
-        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-        return int((v - epoch).total_seconds() * 1_000_000)
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
     if isinstance(v, _dt.date):
         return (v - _dt.date(1970, 1, 1)).days
     return v
+
+
+def _ntz_lit(micros: int):
+    """timestamp_ntz literal from wall-clock micros — a string→ntz cast
+    never consults the session timezone (``timestamp_micros`` would yield
+    a tz-typed literal whose comparison against an ntz column silently
+    coerces through the session tz)."""
+    import datetime as _dt
+
+    wall = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(micros))
+    return F.lit(wall.strftime("%Y-%m-%d %H:%M:%S.%f")).cast("timestamp_ntz")
+
+
+def _typed_lit(v, ddl: str):
+    """Session-timezone-safe Spark literal for a probe/bound value against
+    a column of type ``ddl``. Naive datetimes are UTC instants everywhere
+    in this engine (the blob stores UTC-epoch micros and encode-time bloom
+    hashes are computed on those instants) — but ``F.lit(naive_datetime)``
+    is read in the *session* timezone, so in a non-UTC session a bloom
+    probe would hash the wrong micros and prune the matching partition.
+    Route every datetime/date through its epoch integer instead; against a
+    ``timestamp_ntz`` column the micros mean wall-clock and the literal
+    must itself be ntz-typed (see ``_ntz_lit``)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if ddl == "timestamp_ntz":
+            return _ntz_lit(_zone_bound(v))
+        return F.timestamp_micros(F.lit(_zone_bound(v))).cast(ddl)
+    if isinstance(v, _dt.date):
+        return F.date_from_unix_date(F.lit(_zone_bound(v))).cast(ddl)
+    return F.lit(v).cast(ddl)
 
 
 def prune_by_range(df: DataFrame, column: str, lo=None, hi=None) -> DataFrame:
@@ -192,7 +239,14 @@ def prune_by_range(df: DataFrame, column: str, lo=None, hi=None) -> DataFrame:
 
         def _keep(stat_num, stat_dbl, op):
             num = op(F.col(stat_num))
-            dbl = op(F.col(stat_dbl)) if has_dbl else F.lit(None).cast("boolean")
+            if has_dbl:
+                # snapshots written before the NaN fix store inverted
+                # +inf/-inf bounds for all-NaN chunks — treat as no-stat
+                dbl = F.when(F.col("min_dbl") > F.col("max_dbl"), F.lit(True)).otherwise(
+                    op(F.col(stat_dbl))
+                )
+            else:
+                dbl = F.lit(None).cast("boolean")
             return F.coalesce(num, dbl, F.lit(True))
 
         if lo is not None:
@@ -345,10 +399,11 @@ def decode(
     if key_eq is not None:
         eq_col, eq_val = key_eq
         # the value's hash, computed by the SAME JVM function that hashed
-        # the column at encode time
+        # the column at encode time; _typed_lit keeps datetime probes
+        # session-timezone-independent (UTC instants, like the stored data)
         hv = int(
             spark.range(1)
-            .select(F.xxhash64(F.lit(eq_val).cast(schema_map[eq_col])))
+            .select(F.xxhash64(_typed_lit(eq_val, schema_map[eq_col])))
             .first()[0]
         )
 
@@ -376,12 +431,30 @@ def decode(
         # isin filter keeps the result exact. The batch-fetch path a
         # training pipeline uses to pull N documents by id.
         in_col, in_vals = key_in
-        hv_rows = (
-            spark.createDataFrame([(v,) for v in in_vals], f"`v` {schema_map[in_col]}")
-            .select(F.xxhash64(F.col("v")).alias("h"))
-            .collect()
-        )
-        probes = np.array([r["h"] for r in hv_rows], dtype=np.int64).view(np.uint64)
+        import datetime as _dt
+
+        if any(isinstance(v, (_dt.date, _dt.datetime)) for v in in_vals):
+            # datetime/date probes: hash session-tz-independent typed
+            # literals (point lookups — IN-lists here are small)
+            row = (
+                spark.range(1)
+                .select(
+                    *[
+                        F.xxhash64(_typed_lit(v, schema_map[in_col])).alias(f"h{i}")
+                        for i, v in enumerate(in_vals)
+                    ]
+                )
+                .first()
+            )
+            hashes = list(row)
+        else:
+            hv_rows = (
+                spark.createDataFrame([(v,) for v in in_vals], f"`v` {schema_map[in_col]}")
+                .select(F.xxhash64(F.col("v")).alias("h"))
+                .collect()
+            )
+            hashes = [r["h"] for r in hv_rows]
+        probes = np.array(hashes, dtype=np.int64).view(np.uint64)
 
         from ..plans import bloom as bloom_mod
 
@@ -488,6 +561,9 @@ def decode(
                     continue
                 if as_str:
                     mn, mx = str(mn), str(mx)
+                elif mn > mx:
+                    keep.add(i)  # inverted (pre-NaN-fix all-NaN page) → no-stat
+                    continue
                 if (hi is None or mn <= hi) and (lo is None or mx >= lo):
                     keep.add(i)
             # AND across predicates: a page must survive every range
@@ -545,11 +621,23 @@ def decode(
         return pa.table(dict(zip(need, cols)))
 
     out = df.groupBy("part_id").applyInArrow(rebuild, out_schema)
-    # the key column rides along for pruning; drop it unless requested
+    # the key column rides along for pruning; drop it unless requested.
+    # Residual equality filters go through _typed_lit for the same
+    # session-tz reason as the bloom probes above.
     if key_eq is not None:
-        out = out.filter(F.col(key_eq[0]) == F.lit(key_eq[1]))
+        out = out.filter(F.col(key_eq[0]) == _typed_lit(key_eq[1], schema_map[key_eq[0]]))
     if key_in is not None:
-        out = out.filter(F.col(key_in[0]).isin(list(key_in[1])))
+        import datetime as _dt
+        from functools import reduce as _reduce
+        from operator import or_ as _or
+
+        in_col, in_vals = key_in
+        if any(isinstance(v, (_dt.date, _dt.datetime)) for v in in_vals):
+            out = out.filter(
+                _reduce(_or, [F.col(in_col) == _typed_lit(v, schema_map[in_col]) for v in in_vals])
+            )
+        else:
+            out = out.filter(F.col(in_col).isin(list(in_vals)))
     for pcol, lo, hi in preds:
         # residual row filters: zone maps prune at chunk/page granularity,
         # these make every range exact (not a page-aligned superset)
@@ -564,12 +652,14 @@ def decode(
             # residual window — route through the same micros conversion.
             import datetime as _dt
 
-            if isinstance(v, _dt.datetime) and v.tzinfo is None:
-                return F.timestamp_micros(F.lit(_zone_bound(v)))
+            if isinstance(v, (_dt.date, _dt.datetime)):
+                return _typed_lit(v, ddl)
             if isinstance(v, bool) or not isinstance(v, int):
                 return F.lit(v)
             if ddl == "timestamp":
                 return F.timestamp_micros(F.lit(v))
+            if ddl == "timestamp_ntz":
+                return _ntz_lit(v)
             if ddl == "date":
                 return F.date_from_unix_date(F.lit(v))
             return F.lit(v)

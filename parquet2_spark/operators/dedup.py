@@ -25,6 +25,29 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+# Signature frames are persisted because they feed two consumers (the
+# banding pass and the final re-join). A long-lived session calling LSH
+# repeatedly would otherwise accumulate cached RDDs until executor storage
+# evicts them, so every LSH call releases the caches of *previous* calls,
+# and ``release_caches()`` lets callers drop the last one once the
+# returned plan has been materialized.
+_LIVE_CACHES: list = []
+
+
+def _cache(df: DataFrame) -> DataFrame:
+    release_caches()
+    _LIVE_CACHES.append(df.persist())
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist signature caches left by earlier LSH calls. Call after
+    materializing the returned pairs frame (a later materialization would
+    recompute signatures — correct, just slower)."""
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+
+
 def _mix(x: np.ndarray, salt: int) -> np.ndarray:
     z = x.astype(np.uint64) + np.uint64((0x9E3779B97F4A7C15 * (salt + 1)) & 0xFFFFFFFFFFFFFFFF)
     z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
@@ -205,10 +228,10 @@ def minhash_lsh_pairs(
       ``dedup.exact`` first to remove byte-identical mega-clusters.
     """
     rows_per_band = num_hashes // bands
-    sigs = (
-        minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-        .filter(F.col("signature").isNotNull())
-        .persist()  # reused: banding pass + final signature re-join
+    sigs = _cache(  # reused: banding pass + final signature re-join
+        minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).filter(
+            F.col("signature").isNotNull()
+        )
     )
     banded = sigs.select(
         id_col,
@@ -288,7 +311,7 @@ def simhash_near_dup(
     keeps pairs with distance ≤ ``max_hamming``. All JVM-side:
     shiftrightunsigned banding, xor + bit_count verification.
     """
-    sigs = simhash_signatures(df, text_col, id_col).persist()
+    sigs = _cache(simhash_signatures(df, text_col, id_col))
     width = 64 // bands
     mask = (1 << width) - 1
     banded = sigs.select(

@@ -217,9 +217,11 @@ def _stat_cols(meta: blob.ChunkMeta):
             return None
         import datetime as _dt
 
-        if isinstance(v, _dt.datetime):  # datetime → micros
-            epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-            return int((v - epoch).total_seconds() * 1_000_000)
+        if isinstance(v, _dt.datetime):  # datetime → micros (aware → exact
+            # UTC conversion; a tzinfo-carrying epoch would skew pytz LMT)
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
         if isinstance(v, _dt.date):  # date → days since epoch (blob stores date32)
             return (v - _dt.date(1970, 1, 1)).days
         if isinstance(v, float):
@@ -345,8 +347,9 @@ def _jstat(v, round_up: bool = False):
     import datetime as _dt
 
     if isinstance(v, _dt.datetime):
-        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-        return int((v - epoch).total_seconds() * 1_000_000)
+        if v.tzinfo is not None:  # exact UTC micros (pytz LMT-safe)
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
     if isinstance(v, _dt.date):
         return (v - _dt.date(1970, 1, 1)).days
     if isinstance(v, (bytes, bytearray)):

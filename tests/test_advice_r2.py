@@ -1,0 +1,235 @@
+"""Regression tests for the round-2 ADVICE/VERDICT findings:
+
+- NaN-blind float zone maps (pruning must keep NaN-bearing pages/chunks)
+- tz-aware datetime bounds with variable-offset zones (pytz-LMT class bug)
+- key_eq / key_in on timestamp keys under a non-UTC session timezone
+- stats() on old snapshots whose chunk parquet lacks min_dbl/max_dbl/ndv
+- LSH signature caches released, not accumulated
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from parquet2_spark import blob
+from parquet2_spark.functions import stats as stats_mod
+from parquet2_spark.operators import decode_job, dedup
+from parquet2_spark.operators.encode_job import EncodeConfig, encode
+
+
+class TestNaNZoneMaps:
+    def test_mixed_nan_page_widens_max(self):
+        st = stats_mod.compute(pa.array([1.0, float("nan"), 2.0]))
+        assert st.min == 1.0
+        assert st.max == math.inf  # NaN orders above every double in Spark
+
+    def test_all_nan_page_not_inverted(self):
+        st = stats_mod.compute(pa.array([float("nan")] * 4))
+        assert st.min == math.inf and st.max == math.inf  # never min > max
+
+    def test_nan_free_page_untouched(self):
+        st = stats_mod.compute(pa.array([1.0, 2.0]))
+        assert st.min == 1.0 and st.max == 2.0
+
+    def test_key_range_returns_nan_rows(self, spark, tmp_path):
+        # NaN scores live in the HIGH part: x >= lo must return them
+        rows = [(i, float(i)) for i in range(100)] + [
+            (100 + i, float("nan")) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "k long, score double")
+        d = str(tmp_path / "snap_nan")
+        encode(
+            spark,
+            df.repartitionByRange(3, "k"),
+            d,
+            EncodeConfig(target_rows=50, page_rows=25, sort_by="k", key="k",
+                         host_from_key=False, shuffle=False),
+        )
+        got = decode_job.decode(spark, d, key_range=("score", 50.0, None)).collect()
+        ks = sorted(r["k"] for r in got)
+        # Spark orders NaN above every double → NaN rows satisfy score >= 50
+        assert ks == list(range(50, 150))
+        # and an upper-bounded range must NOT return NaN rows
+        got2 = decode_job.decode(spark, d, key_range=("score", None, 10.0)).collect()
+        assert sorted(r["k"] for r in got2) == list(range(0, 11))
+
+    def test_inverted_legacy_bounds_treated_as_no_stat(self, spark):
+        # chunks written before the fix: all-NaN chunk stored min=+inf/max=-inf
+        df = spark.createDataFrame(
+            [(0, "score", math.inf, -math.inf), (1, "score", 1.0, 2.0)],
+            "part_id long, column string, min_dbl double, max_dbl double",
+        ).withColumn("min_num", F.lit(None).cast("long")).withColumn(
+            "max_num", F.lit(None).cast("long")
+        )
+        kept = decode_job.prune_by_range(df, "score", 5.0, None)
+        assert {r["part_id"] for r in kept.collect()} == {0}  # legacy chunk kept
+
+
+class _ShiftingZone(dt.tzinfo):
+    """Variable-offset zone: -00:30 before 1980 (LMT-style), +05:00 after —
+    reproduces the pytz class of bug where the 1970 epoch carries a
+    different offset than the bound's instant."""
+
+    def utcoffset(self, d):
+        if d is not None and d.year < 1980:
+            return dt.timedelta(minutes=-30)
+        return dt.timedelta(hours=5)
+
+    def dst(self, d):
+        return dt.timedelta(0)
+
+
+class TestAwareDatetimeBounds:
+    def test_zone_bound_exact_for_variable_offset(self):
+        aware = dt.datetime(2024, 6, 1, 12, 0, 0, tzinfo=_ShiftingZone())
+        want = aware.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        naive_micros = decode_job._zone_bound(want)
+        assert decode_job._zone_bound(aware) == naive_micros
+
+    def test_zone_bound_naive_is_utc(self):
+        v = dt.datetime(2000, 1, 2, 3, 4, 5, 123456)
+        micros = decode_job._zone_bound(v)
+        assert micros == int(
+            (v - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+        )
+
+
+@pytest.fixture(scope="module")
+def ts_bloom_snap(spark, tmp_path_factory):
+    base = dt.datetime(2024, 3, 1)
+    rows = [(i, base + dt.timedelta(minutes=i)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp")
+    d = str(tmp_path_factory.mktemp("snap_tsbloom"))
+    encode(
+        spark,
+        df.repartitionByRange(4, "k"),
+        d,
+        EncodeConfig(target_rows=500, page_rows=125, sort_by="ts", key="k",
+                     host_from_key=False, shuffle=False, bloom_columns=("ts",)),
+    )
+    return d
+
+
+class TestTimestampProbesNonUTCSession:
+    """key_eq / key_in bloom probes on a timestamp key must be
+    session-timezone independent (VERDICT r2 'what's wrong' #1)."""
+
+    def _with_tz(self, spark, tz):
+        old = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        return old
+
+    def test_key_eq_under_new_york_session(self, spark, ts_bloom_snap):
+        probe = dt.datetime(2024, 3, 1) + dt.timedelta(minutes=777)
+        old = self._with_tz(spark, "America/New_York")
+        try:
+            got = decode_job.decode(spark, ts_bloom_snap, key_eq=("ts", probe)).collect()
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)
+        assert len(got) == 1 and got[0]["k"] == 777
+
+    def test_key_eq_bloom_does_not_prune_match(self, spark, ts_bloom_snap):
+        # the partition holding the match must survive the bloom pass even
+        # when the session tz is shifted (probe hashed as a UTC instant)
+        probe = dt.datetime(2024, 3, 1) + dt.timedelta(minutes=1500)
+        old = self._with_tz(spark, "Asia/Kolkata")
+        try:
+            got = decode_job.decode(
+                spark, ts_bloom_snap, columns=["k", "ts"], key_eq=("ts", probe)
+            ).collect()
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)
+        assert [r["k"] for r in got] == [1500]
+
+    def test_key_in_under_non_utc_session(self, spark, ts_bloom_snap):
+        base = dt.datetime(2024, 3, 1)
+        probes = [base + dt.timedelta(minutes=m) for m in (3, 999, 1999)]
+        old = self._with_tz(spark, "America/New_York")
+        try:
+            got = decode_job.decode(spark, ts_bloom_snap, key_in=("ts", probes)).collect()
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)
+        assert sorted(r["k"] for r in got) == [3, 999, 1999]
+
+    def test_ntz_key_eq_and_range_under_non_utc_session(self, spark, tmp_path):
+        # timestamp_ntz columns (the testdata events.ts type): naive
+        # datetimes mean wall-clock; literals must be ntz-typed, never
+        # routed through a tz literal (silent session-tz coercion)
+        base = dt.datetime(2024, 3, 1)
+        rows = [(i, base + dt.timedelta(minutes=i)) for i in range(400)]
+        df = spark.createDataFrame(rows, "k long, ts timestamp_ntz")
+        d = str(tmp_path / "snap_ntz")
+        encode(
+            spark,
+            df.repartitionByRange(2, "k"),
+            d,
+            EncodeConfig(target_rows=200, page_rows=50, sort_by="ts", key="k",
+                         host_from_key=False, shuffle=False, bloom_columns=("ts",)),
+        )
+        old = self._with_tz(spark, "America/New_York")
+        try:
+            got = decode_job.decode(spark, d, key_eq=("ts", base + dt.timedelta(minutes=42))).collect()
+            assert [r["k"] for r in got] == [42]
+            got_r = decode_job.decode(
+                spark, d,
+                key_range=("ts", base + dt.timedelta(minutes=10), base + dt.timedelta(minutes=15)),
+            ).collect()
+            assert sorted(r["k"] for r in got_r) == list(range(10, 16))
+            got_in = decode_job.decode(
+                spark, d, key_in=("ts", [base + dt.timedelta(minutes=m) for m in (1, 399)])
+            ).collect()
+            assert sorted(r["k"] for r in got_in) == [1, 399]
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)
+
+    def test_key_range_aware_bounds(self, spark, ts_bloom_snap):
+        base = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+        lo = (base + dt.timedelta(minutes=100)).astimezone(dt.timezone(dt.timedelta(hours=-5)))
+        hi = (base + dt.timedelta(minutes=105)).astimezone(dt.timezone(dt.timedelta(hours=9)))
+        got = decode_job.decode(spark, ts_bloom_snap, key_range=("ts", lo, hi)).collect()
+        assert sorted(r["k"] for r in got) == list(range(100, 106))
+
+
+class TestOldSnapshotStats:
+    def test_stats_without_dbl_ndv_columns(self, spark, tmp_path):
+        df = spark.createDataFrame([(i, f"u{i}") for i in range(100)], "k long, u string")
+        d = str(tmp_path / "snap_old")
+        encode(spark, df, d, EncodeConfig(target_rows=100, key="k", sort_by="k",
+                                          host_from_key=False))
+        # rewrite the chunk parquet as a round-1 snapshot (no dbl/ndv cols)
+        import glob
+
+        import pyarrow.parquet as pq
+
+        for f in glob.glob(f"{d}/chunks/*.parquet"):
+            t = pq.read_table(f)
+            t = t.drop_columns(["min_dbl", "max_dbl", "ndv"])
+            pq.write_table(t, f, compression="none")
+        rows = decode_job.stats(spark, d).collect()
+        assert {r["column"] for r in rows} == {"k", "u"}
+        assert "min_dbl" not in rows[0].asDict()
+        # decode still works too (prune guards were already in place)
+        assert decode_job.decode(spark, d).count() == 100
+
+
+class TestLSHCacheRelease:
+    def test_caches_released_between_calls_and_on_release(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"some text body number {i} with shared boilerplate words") for i in range(40)],
+            "doc_id long, text string",
+        )
+        jsc = spark.sparkContext._jsc.sc()
+        dedup.minhash_lsh_pairs(df, num_hashes=16, bands=4).collect()
+        n_after_first = jsc.getPersistentRDDs().size()
+        assert n_after_first >= 1  # the signature cache is live
+        dedup.simhash_near_dup(df).collect()
+        # the second call released the first call's cache
+        assert jsc.getPersistentRDDs().size() <= n_after_first
+        dedup.release_caches()
+        assert jsc.getPersistentRDDs().size() == 0
