@@ -132,3 +132,63 @@ def delete_dir(fs: pafs.FileSystem, path: str) -> None:
         fs.delete_dir(path)
     except FileNotFoundError:
         pass
+
+
+def delete_file(fs: pafs.FileSystem, path: str) -> None:
+    try:
+        fs.delete_file(path)
+    except FileNotFoundError:
+        pass
+
+
+def _local_os_path(fs: pafs.FileSystem, path: str) -> str | None:
+    """OS path for a (possibly SubTree-wrapped) LocalFileSystem, else None."""
+    if isinstance(fs, pafs.LocalFileSystem):
+        return path
+    if isinstance(fs, pafs.SubTreeFileSystem):
+        inner = _local_os_path(fs.base_fs, fs.base_path)
+        return posixpath.join(inner, path) if inner is not None else None
+    return None
+
+
+def newest_mtime(fs: pafs.FileSystem, path: str) -> float | None:
+    """Unix mtime of the newest entry under ``path`` (None if empty or
+    missing) — the liveness signal for staging-dir adoption."""
+    infos = fs.get_file_info(pafs.FileSelector(path, allow_not_found=True, recursive=True))
+    stamps = [i.mtime.timestamp() for i in infos if i.mtime is not None]
+    return max(stamps) if stamps else None
+
+
+def try_create_exclusive(fs: pafs.FileSystem, path: str, payload: bytes) -> bool:
+    """Create ``path`` with ``payload`` ONLY if it does not already exist;
+    return whether this caller won the creation race.
+
+    Three tiers of atomicity (best available wins):
+    - a filesystem exposing ``create_if_absent(path, payload) -> bool``
+      (object-store adapters backed by conditional PUT / If-None-Match) —
+      true CAS on the store;
+    - local filesystems: ``os.open(O_CREAT|O_EXCL)`` — POSIX-atomic;
+    - anything else: existence check then write — first-write-wins with a
+      small race window, same model the commit protocol already documents
+      for rename-free stores (the id-uniqueness check in table.append
+      backstops it).
+    """
+    create_if_absent = getattr(fs, "create_if_absent", None)
+    if callable(create_if_absent):
+        return bool(create_if_absent(path, payload))
+    os_path = _local_os_path(fs, path)
+    if os_path is not None:
+        import os
+
+        try:
+            fd = os.open(os_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        return True
+    if exists(fs, path):
+        return False
+    with fs.open_output_stream(path) as f:
+        f.write(payload)
+    return True

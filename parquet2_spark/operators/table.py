@@ -25,6 +25,7 @@ case.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -37,6 +38,49 @@ MANIFEST = "_table.json"
 # snapshot id namespaces the part_id when snapshots are read together:
 # part ids stay unique across snapshots without rewriting any file
 SNAP_SHIFT = 44  # part_id < 2^44 (~1.8e13 partitions), snap id < 2^19
+
+LOCK_DIR = "_locks"
+LOCK_STALE_S = 120.0  # a writer crashed holding the lock → steal after this
+LOCK_WAIT_S = 60.0  # give up acquiring after this
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed a conflicting change; retry the operation."""
+
+
+def _acquire_manifest_lock(fs, root: str, wait_s: float = LOCK_WAIT_S) -> str:
+    """Serialize manifest read-modify-write with an exclusive-create lock
+    file (O_EXCL on local FS; conditional PUT via a ``create_if_absent``
+    filesystem hook on object stores; exists+write elsewhere — see
+    fsio.try_create_exclusive). A crashed writer's lock is stolen once its
+    timestamp is older than ``LOCK_STALE_S``."""
+    import uuid as _uuid
+
+    lock_path = fsio.join(root, LOCK_DIR, "manifest.lock")
+    fsio.mkdirs(fs, fsio.join(root, LOCK_DIR))
+    token = _uuid.uuid4().hex
+    deadline = time.time() + wait_s
+    while True:
+        payload = {"token": token, "created_unix": time.time()}
+        if fsio.try_create_exclusive(fs, lock_path, json.dumps(payload).encode()):
+            return lock_path
+        try:
+            held = fsio.read_json(fs, lock_path)
+            if time.time() - held.get("created_unix", 0) > LOCK_STALE_S:
+                fsio.delete_file(fs, lock_path)  # stale: holder crashed
+                continue
+        except (FileNotFoundError, ValueError):
+            continue  # holder released (or tore) between attempts
+        if time.time() > deadline:
+            raise TimeoutError(
+                f"could not acquire manifest lock {lock_path} in {wait_s}s "
+                f"(held by {held.get('token', '?')})"
+            )
+        time.sleep(0.05)
+
+
+def _release_manifest_lock(fs, lock_path: str) -> None:
+    fsio.delete_file(fs, lock_path)
 
 
 def is_table(path: str, filesystem=None) -> bool:
@@ -72,15 +116,43 @@ def snapshot_dirs(
     return sorted(out)
 
 
-def _staging_dir_for(fs, root: str, man: dict, next_id: int) -> str:
-    """Snapshot staging-dir name for ``next_id``.
+CLAIM = "_claim.json"
+ADOPT_QUIET_S = 60.0  # a claimed staging dir with activity this recent is LIVE
 
-    A crashed append left an orphan (encoded but never committed) dir for
-    this id — adopt it so the retry resumes instead of re-encoding
-    (committed partitions are skipped by the encode job's markers). No
-    orphan → a fresh uuid-suffixed name, so two LIVE writers racing on
-    the same id can never write into each other's files; only the first
-    manifest commit wins.
+
+def _adoptable(fs, root: str, orphan: str) -> bool:
+    """May a new append resume into this uncommitted staging dir?
+
+    Yes when it is plainly abandoned: either it carries no claim file
+    (a manually-encoded snapshot, or a pre-claim layout), or its claim
+    AND newest commit-marker activity are both quiet for ADOPT_QUIET_S —
+    a live writer claims its dir on creation and then streams commit
+    markers, so adopting an ACTIVE writer's dir (two appends interleaving
+    two different batches into one snapshot) is ruled out."""
+    claim_p = fsio.join(root, orphan, CLAIM)
+    if not fsio.exists(fs, claim_p):
+        return True
+    last = 0.0
+    try:
+        last = float(fsio.read_json(fs, claim_p).get("created_unix", 0.0))
+    except (ValueError, OSError):
+        pass
+    mt = fsio.newest_mtime(fs, fsio.join(root, orphan, "_commits"))
+    if mt is not None:
+        last = max(last, mt)
+    return time.time() - last > ADOPT_QUIET_S
+
+
+def _staging_dir_for(fs, root: str, man: dict, next_id: int) -> str:
+    """Snapshot staging-dir name for ``next_id`` — called under the
+    manifest lock, so two writers can never choose (or adopt) the same
+    dir.
+
+    A crashed append left an abandoned orphan (encoded but never
+    committed) dir for this id — adopt it so the retry resumes instead of
+    re-encoding (committed partitions are skipped by the encode job's
+    markers). No adoptable orphan → a fresh uuid-suffixed name, so LIVE
+    writers never write into each other's files.
     """
     import uuid as _uuid
 
@@ -89,11 +161,29 @@ def _staging_dir_for(fs, root: str, man: dict, next_id: int) -> str:
     orphans = sorted(
         d
         for d in fsio.listdir(fs, root)
-        if d.startswith(prefix) and d not in committed and fsio.is_dir(fs, fsio.join(root, d))
+        if d.startswith(prefix)
+        and d not in committed
+        and fsio.is_dir(fs, fsio.join(root, d))
+        and _adoptable(fs, root, d)
     )
     if orphans:
         return orphans[0]
     return f"{prefix}-{_uuid.uuid4().hex[:8]}"
+
+
+def _claim_staging_dir(fs, root: str, man: dict, next_id: int) -> str:
+    """Choose (or adopt) a staging dir for ``next_id`` and stamp our claim
+    into it. Must run under the manifest lock."""
+    import uuid as _uuid
+
+    snap_name = _staging_dir_for(fs, root, man, next_id)
+    fsio.mkdirs(fs, fsio.join(root, snap_name))
+    fsio.write_json_atomic(
+        fs,
+        fsio.join(root, snap_name, CLAIM),
+        {"token": _uuid.uuid4().hex, "created_unix": time.time()},
+    )
+    return snap_name
 
 
 def append(
@@ -129,37 +219,49 @@ def append(
                 f"append would drop/retype table columns {changed}; only "
                 f"adding new columns is supported (additive evolution)"
             )
-    next_id = (max((s["id"] for s in man["snapshots"]), default=0)) + 1
-    snap_name = _staging_dir_for(fs, root, man, next_id)
+    # staging-dir choice runs under the manifest lock: adoption of an
+    # abandoned orphan and creation of a fresh claimed dir are serialized,
+    # so two live writers can never interleave into one snapshot dir
+    lock = _acquire_manifest_lock(fs, root)
+    try:
+        man = read_manifest(table_dir, cfg.filesystem) or man
+        next_id = (max((s["id"] for s in man["snapshots"]), default=0)) + 1
+        snap_name = _claim_staging_dir(fs, root, man, next_id)
+    finally:
+        _release_manifest_lock(fs, lock)
     snap_dir = os.path.join(table_dir, snap_name)
 
     lin = encode(spark, df, snap_dir, cfg, resume=resume)
 
-    # optimistic concurrency (Iceberg-style single-pointer commit): two
-    # live writers encode into DIFFERENT uuid-suffixed staging dirs, so
-    # neither can touch the other's files; the first manifest replace
-    # wins, the loser is refused here (its orphan dir is garbage, and a
-    # retried append with a NEW id adopts or ignores it safely).
-    latest = read_manifest(table_dir, cfg.filesystem)
-    latest_ids = {s["id"] for s in (latest or man)["snapshots"]}
-    if next_id in latest_ids:
-        raise RuntimeError(
-            f"concurrent append detected: snapshot id {next_id} was committed "
-            f"by another writer while this append encoded — retry the append"
+    # Iceberg-style single-pointer commit, serialized by the manifest
+    # lock; the snapshot id is FINALIZED here, not at encode start — if
+    # another writer committed our provisional id meanwhile, this commit
+    # takes the next free id (the manifest maps id → dir explicitly, the
+    # dir-name prefix is only an adoption hint). Appends therefore never
+    # conflict and never drop each other's entries.
+    lock = _acquire_manifest_lock(fs, root)
+    try:
+        latest = read_manifest(table_dir, cfg.filesystem) or man
+        # strictly greater than every committed id — NOT "first free id":
+        # a ``since=k`` incremental consumer assumes ids are monotone in
+        # commit order, so a later commit must never fill an earlier gap
+        commit_id = max(
+            next_id, max((s["id"] for s in latest["snapshots"]), default=0) + 1
         )
-    man = latest or man
-    man["snapshots"].append(
-        {
-            "id": next_id,
-            "dir": snap_name,
-            "rows": lin["rows"],
-            "raw_bytes": lin["raw_bytes"],
-            "enc_bytes": lin["enc_bytes"],
-            "created_unix": time.time(),
-        }
-    )
-    man["current"] = next_id
-    _write_manifest(table_dir, man, cfg.filesystem)
+        latest["snapshots"].append(
+            {
+                "id": commit_id,
+                "dir": snap_name,
+                "rows": lin["rows"],
+                "raw_bytes": lin["raw_bytes"],
+                "enc_bytes": lin["enc_bytes"],
+                "created_unix": time.time(),
+            }
+        )
+        latest["current"] = max(commit_id, latest.get("current", 0))
+        _write_manifest(table_dir, latest, cfg.filesystem)
+    finally:
+        _release_manifest_lock(fs, lock)
     return lin
 
 
@@ -198,12 +300,17 @@ def compact(
     old = snapshot_dirs(table_dir, filesystem=cfg.filesystem)
     next_id = max(s["id"] for s in man["snapshots"]) + 1
     fs, root = fsio.resolve(table_dir, cfg.filesystem)
-    snap_name = _staging_dir_for(fs, root, man, next_id)
+    lock = _acquire_manifest_lock(fs, root)
+    try:
+        snap_name = _claim_staging_dir(fs, root, man, next_id)
+    finally:
+        _release_manifest_lock(fs, lock)
     snap_dir = os.path.join(table_dir, snap_name)
 
     df = decode_job.decode(spark, table_dir, filesystem=cfg.filesystem)
     lin = encode(spark, df, snap_dir, cfg, resume=True)
 
+    compacted_ids = {s["id"] for s in man["snapshots"]}
     new_man = {
         "format": man["format"],
         "current": next_id,
@@ -215,11 +322,25 @@ def compact(
                 "raw_bytes": lin["raw_bytes"],
                 "enc_bytes": lin["enc_bytes"],
                 "created_unix": time.time(),
-                "compacted_from": [s["id"] for s in man["snapshots"]],
+                "compacted_from": sorted(compacted_ids),
             }
         ],
     }
-    _write_manifest(table_dir, new_man, cfg.filesystem)
+    # the (long) re-encode ran outside the lock; refuse the manifest
+    # replace if any snapshot was appended meanwhile — the rewrite would
+    # silently drop it. Caller retries the compaction over the new state.
+    lock = _acquire_manifest_lock(fs, root)
+    try:
+        latest = read_manifest(table_dir, cfg.filesystem)
+        latest_ids = {s["id"] for s in latest["snapshots"]} if latest else set()
+        if latest_ids != compacted_ids:
+            raise CommitConflict(
+                f"table changed during compaction (snapshots {sorted(latest_ids)} "
+                f"vs compacted {sorted(compacted_ids)}) — retry compact()"
+            )
+        _write_manifest(table_dir, new_man, cfg.filesystem)
+    finally:
+        _release_manifest_lock(fs, lock)
     if not keep_old:
         for _, sdir in old:
             sfs, sroot = fsio.resolve(sdir, cfg.filesystem)

@@ -223,9 +223,11 @@ def test_incremental_read_since(spark, table3):
         decode_job.decode(spark, os.path.join(tdir, snap1), since=1)
 
 
-def test_concurrent_append_detected(spark, tmp_path_factory, monkeypatch):
-    """Optimistic concurrency: if another writer commits our snapshot id
-    while we encode, the commit is refused instead of interleaving files."""
+def test_concurrent_append_commits_under_next_id(spark, tmp_path_factory, monkeypatch):
+    """If another writer commits our provisional snapshot id while we
+    encode, the locked commit finalizes under the next free id — both
+    snapshots land, neither interleaves files (see test_table_concurrency
+    for the lock/adoption details)."""
     import time as _time
 
     tdir = str(tmp_path_factory.mktemp("tbl_race"))
@@ -246,5 +248,7 @@ def test_concurrent_append_detected(spark, tmp_path_factory, monkeypatch):
         return lin
 
     monkeypatch.setattr(table, "encode", racy_encode)
-    with pytest.raises(RuntimeError, match="concurrent append"):
-        table.append(spark, _batch(spark, 2), tdir, _cfg())
+    table.append(spark, _batch(spark, 2), tdir, _cfg())
+    man = read_manifest(tdir)
+    assert sorted(s["id"] for s in man["snapshots"]) == [1, 2, 3]
+    assert man["snapshots"][1]["dir"] == "snap-000002-foreign"

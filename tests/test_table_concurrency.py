@@ -1,0 +1,226 @@
+"""Manifest commit atomicity (round-2 ADVICE medium #2 + VERDICT item 10):
+the read-modify-write of _table.json runs under an exclusive-create lock,
+different-id commits can't drop each other's entries, compact() refuses to
+discard snapshots appended during the re-encode, and object-store adapters
+with a conditional-put hook (``create_if_absent``) refuse the losing writer
+BEFORE the manifest is replaced."""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+
+import pytest
+from pyarrow import fs as pafs
+from pyspark.sql import functions as F
+
+from parquet2_spark import fsio
+from parquet2_spark.operators import table
+from parquet2_spark.operators.encode_job import EncodeConfig
+from parquet2_spark.operators.table import CommitConflict, append, compact, read_manifest
+
+
+def _cfg():
+    return EncodeConfig(target_rows=64, page_rows=32, sort_by="k", key="k",
+                        host_from_key=False)
+
+
+def _batch(spark, tag: int, n: int = 50):
+    return spark.range(n).select(
+        (F.col("id") + tag * 1000).alias("k"),
+        F.concat(F.lit(f"t{tag}-"), F.col("id").cast("string")).alias("v"),
+    )
+
+
+class TestExclusiveCreate:
+    def test_local_o_excl(self, tmp_path):
+        fs = pafs.LocalFileSystem()
+        p = str(tmp_path / "tok")
+        assert fsio.try_create_exclusive(fs, p, b"a") is True
+        assert fsio.try_create_exclusive(fs, p, b"b") is False
+        assert fsio.read_bytes(fs, p) == b"a"  # loser never wrote
+
+    def test_subtree_resolves_to_o_excl(self, tmp_path):
+        fs = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+        assert fsio.try_create_exclusive(fs, "tok", b"x") is True
+        assert fsio.try_create_exclusive(fs, "tok", b"y") is False
+
+    def test_duck_typed_cas_hook_wins(self, tmp_path):
+        calls = []
+
+        class FakeCAS(pafs.SubTreeFileSystem):
+            """Object-store adapter with conditional PUT (If-None-Match)."""
+
+            def __init__(self, root):
+                super().__init__(root, pafs.LocalFileSystem())
+
+            def create_if_absent(self, path, payload):
+                calls.append(path)
+                if fsio.exists(self, path):
+                    return False
+                with self.open_output_stream(path) as f:
+                    f.write(payload)
+                return True
+
+        fs = FakeCAS(str(tmp_path))
+        assert fsio.try_create_exclusive(fs, "lock", b"1") is True
+        assert fsio.try_create_exclusive(fs, "lock", b"2") is False
+        assert calls == ["lock", "lock"]  # the hook, not the O_EXCL path
+
+
+class TestManifestLock:
+    def test_serializes_read_modify_write(self, tmp_path):
+        fs = pafs.LocalFileSystem()
+        root = str(tmp_path)
+        fsio.mkdirs(fs, root)
+        man_path = fsio.join(root, table.MANIFEST)
+        fsio.write_json_atomic(fs, man_path, {"format": 1, "current": 0, "snapshots": []})
+
+        errs = []
+
+        def committer(wid: int):
+            try:
+                for i in range(10):
+                    lock = table._acquire_manifest_lock(fs, root)
+                    try:
+                        man = fsio.read_json(fs, man_path)
+                        man["snapshots"].append({"id": len(man["snapshots"]) + 1,
+                                                 "dir": f"w{wid}-{i}"})
+                        time.sleep(0.001)  # widen the race window
+                        fsio.write_json_atomic(fs, man_path, man)
+                    finally:
+                        table._release_manifest_lock(fs, lock)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [threading.Thread(target=committer, args=(w,)) for w in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+        man = fsio.read_json(fs, man_path)
+        # no lost updates: all 40 commits present, ids dense
+        assert len(man["snapshots"]) == 40
+        assert sorted(s["id"] for s in man["snapshots"]) == list(range(1, 41))
+
+    def test_stale_lock_stolen(self, tmp_path):
+        fs = pafs.LocalFileSystem()
+        root = str(tmp_path)
+        fsio.mkdirs(fs, fsio.join(root, table.LOCK_DIR))
+        lock_path = fsio.join(root, table.LOCK_DIR, "manifest.lock")
+        stale = {"token": "dead", "created_unix": time.time() - table.LOCK_STALE_S - 1}
+        fsio.write_json_atomic(fs, lock_path, stale)
+        got = table._acquire_manifest_lock(fs, root, wait_s=5)
+        assert json.loads(fsio.read_bytes(fs, got))["token"] != "dead"
+        table._release_manifest_lock(fs, got)
+
+    def test_live_lock_times_out(self, tmp_path):
+        fs = pafs.LocalFileSystem()
+        root = str(tmp_path)
+        fsio.mkdirs(fs, fsio.join(root, table.LOCK_DIR))
+        lock_path = fsio.join(root, table.LOCK_DIR, "manifest.lock")
+        fsio.write_json_atomic(fs, lock_path, {"token": "live", "created_unix": time.time()})
+        with pytest.raises(TimeoutError):
+            table._acquire_manifest_lock(fs, root, wait_s=0.3)
+
+
+class TestAppendCommit:
+    def test_interleaved_appends_keep_both(self, spark, tmp_path, monkeypatch):
+        """Writer B reads the manifest before writer A commits a DIFFERENT
+        id; B's locked commit must merge, not drop, A's entry (the lost
+        update compact-then-write had), and B's id must stay monotone with
+        commit order (never fill the gap below A's id — since= consumers
+        assume id order == commit order)."""
+        tdir = str(tmp_path / "tbl")
+        append(spark, _batch(spark, 1), tdir, _cfg())
+
+        orig_encode = table.encode
+        fired = []
+
+        def racy_encode(*a, **k):
+            lin = orig_encode(*a, **k)
+            if not fired:  # writer A lands an id-3 commit while B encodes id 2
+                fired.append(1)
+                man = read_manifest(tdir)
+                man["snapshots"].append(
+                    {"id": 3, "dir": "snap-000003-foreign", "rows": 1,
+                     "raw_bytes": 1, "enc_bytes": 1, "created_unix": time.time()}
+                )
+                man["current"] = 3
+                table._write_manifest(tdir, man)
+            return lin
+
+        monkeypatch.setattr(table, "encode", racy_encode)
+        append(spark, _batch(spark, 2), tdir, _cfg())
+        ids = sorted(s["id"] for s in read_manifest(tdir)["snapshots"])
+        assert ids == [1, 3, 4]  # nobody dropped; B committed ABOVE A's id
+        assert read_manifest(tdir)["current"] == 4
+
+    def test_compact_refuses_when_table_changed(self, spark, tmp_path, monkeypatch):
+        tdir = str(tmp_path / "tbl2")
+        append(spark, _batch(spark, 1), tdir, _cfg())
+        append(spark, _batch(spark, 2), tdir, _cfg())
+
+        orig_encode = table.encode
+        fired = []
+
+        def racy_encode(*a, **k):
+            lin = orig_encode(*a, **k)
+            if not fired:  # a concurrent append lands during the re-encode
+                fired.append(1)
+                append(spark, _batch(spark, 9), tdir, _cfg())
+            return lin
+
+        monkeypatch.setattr(table, "encode", racy_encode)
+        with pytest.raises(CommitConflict, match="changed during compaction"):
+            compact(spark, tdir, _cfg())
+        # the concurrently-appended snapshot survived
+        ids = sorted(s["id"] for s in read_manifest(tdir)["snapshots"])
+        assert ids == [1, 2, 3]
+
+    def test_same_id_race_bumps_not_drops(self, spark, tmp_path, monkeypatch):
+        """A foreign writer commits OUR provisional id while we encode:
+        the locked commit re-reads the manifest and takes the next id
+        above it — no lost update, no conflict error, no retry needed."""
+        tdir = str(tmp_path / "tbl3")
+        append(spark, _batch(spark, 1), tdir, _cfg())
+
+        orig_encode = table.encode
+
+        def racy_encode(*a, **k):
+            lin = orig_encode(*a, **k)
+            man = read_manifest(tdir)
+            man["snapshots"].append(
+                {"id": 2, "dir": "snap-000002-foreign", "rows": 1,
+                 "raw_bytes": 1, "enc_bytes": 1, "created_unix": time.time()}
+            )
+            man["current"] = 2
+            table._write_manifest(tdir, man)
+            return lin
+
+        monkeypatch.setattr(table, "encode", racy_encode)
+        append(spark, _batch(spark, 2), tdir, _cfg())
+        man = read_manifest(tdir)
+        assert sorted(s["id"] for s in man["snapshots"]) == [1, 2, 3]
+        assert man["snapshots"][1]["dir"] == "snap-000002-foreign"  # kept
+        assert man["snapshots"][2]["dir"].startswith("snap-000002-")  # ours, bumped id
+
+    def test_live_staging_dir_not_adopted(self, spark, tmp_path):
+        """A claimed staging dir with fresh commit activity belongs to a
+        LIVE writer — a second append must never resume into it."""
+        tdir = str(tmp_path / "tbl4")
+        append(spark, _batch(spark, 1), tdir, _cfg())
+        fs, root = fsio.resolve(tdir, None)
+        man = read_manifest(tdir)
+        # simulate writer A mid-encode: claimed dir with a fresh marker
+        a_dir = table._claim_staging_dir(fs, root, man, 2)
+        fsio.mkdirs(fs, fsio.join(root, a_dir, "_commits"))
+        fsio.write_json_atomic(fs, fsio.join(root, a_dir, "_commits", "0.json"), {"x": 1})
+        assert not table._adoptable(fs, root, a_dir)
+        b_dir = table._staging_dir_for(fs, root, man, 2)
+        assert b_dir != a_dir  # B got a fresh dir, not A's
+        # an UNCLAIMED orphan (manual encode / legacy) is still adoptable
+        fsio.mkdirs(fs, fsio.join(root, "snap-000002"))
+        assert table._adoptable(fs, root, "snap-000002")
