@@ -471,6 +471,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("meta.nc").alias("meta_nc"),
         )
 
+    def map_value_projection(spark, sf_dir):
+        """Map VALUE struct projection ("counts.n" on a
+        map<string, struct<n, blob>>): keys decode fully, the value
+        struct prunes to the selected field, the sibling value-field's
+        pages are skipped by header walk inside the items page (reference
+        get_field_columns over any group type, src/read/mod.rs:70-77).
+        The map-heavy-metadata-table hot path."""
+        import tempfile as _tf
+
+        from parquet2_spark.operators import decode_job
+        from parquet2_spark.operators.encode_job import EncodeConfig, encode
+
+        docs = _t(spark, sf_dir, "documents")
+        nested = docs.select(
+            "doc_id",
+            F.create_map(
+                F.lit("a"),
+                F.struct(F.col("n_chars").cast("long").alias("n"),
+                         F.col("text").alias("blob")),
+                F.lit("b"),
+                F.struct((F.col("n_chars") * 3).cast("long").alias("n"),
+                         F.col("lang").alias("blob")),
+            ).alias("counts"),
+        )
+        snap = _tf.mkdtemp(prefix="p2s_mvproj_")
+        encode(spark, nested, snap,
+               EncodeConfig(target_rows=256, page_rows=128, sort_by="doc_id",
+                            key="doc_id", host_from_key=False))
+        out = decode_job.decode(spark, snap, columns=["doc_id", "counts.n"])
+        return out.select(
+            "doc_id",
+            F.element_at(F.col("counts"), "a")["n"].alias("a_n"),
+            F.element_at(F.col("counts"), "b")["n"].alias("b_n"),
+            F.size(F.col("counts")).cast("long").alias("n_keys"),
+        )
+
     def rt_decimal(spark, sf_dir):
         """Decimal columns (reference PrimitiveLogicalType::Decimal,
         parquet_bridge.rs:486) through the codec layer: exact
@@ -712,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_delta_length": _rt("documents", ["doc_id", "text"], {"text": PLAIN}),
         "rt_nested": rt_nested,
         "nested_field_projection": nested_field_projection,
+        "map_value_projection": map_value_projection,
         "rt_decimal": rt_decimal,
         "rt_small_types": rt_small_types,
         # stats / pruning / bloom (SURVEY §2.D/§2.E parity)
@@ -891,6 +928,11 @@ FROM documents
 """,
         "nested_field_projection": (
             "SELECT doc_id, lang AS meta_lang, CAST(n_chars AS BIGINT) AS meta_nc "
+            "FROM documents"
+        ),
+        "map_value_projection": (
+            "SELECT doc_id, CAST(n_chars AS BIGINT) AS a_n, "
+            "CAST(n_chars * 3 AS BIGINT) AS b_n, CAST(2 AS BIGINT) AS n_keys "
             "FROM documents"
         ),
         "rt_decimal": """

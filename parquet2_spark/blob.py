@@ -49,6 +49,26 @@ from .functions.selector import (
 
 CHUNK_MAGIC = b"P2C1"
 
+# Allocation guards (≙ reference max_page_size, read/page/reader.rs:197-199
+# and the try_reserve in read/metadata.rs:87): a corrupt/forged uleb length
+# must fail a cheap bounds check BEFORE any allocation is attempted.
+MAX_PAGE_ROWS = 1 << 27  # rows per page (config default is 8192)
+MAX_PAGE_RAW = 1 << 33  # decompressed payload bytes per page
+
+
+def _check_len(ln: int, buf: memoryview, pos: int, what: str) -> None:
+    """A length field must fit inside the enclosing buffer."""
+    if ln < 0 or pos + ln > len(buf):
+        raise ValueError(
+            f"corrupt blob: {what} length {ln} exceeds enclosing buffer "
+            f"({len(buf) - pos} bytes left at offset {pos})"
+        )
+
+
+def _check_rows(n: int, what: str) -> None:
+    if n < 0 or n > MAX_PAGE_ROWS:
+        raise ValueError(f"corrupt blob: {what} row count {n} exceeds {MAX_PAGE_ROWS}")
+
 # ---------------------------------------------------------------- types
 # type_code: (name, numpy dtype or None, kind, arrow type factory)
 TYPES: dict[int, tuple[str, Any, str, Callable[[], pa.DataType]]] = {
@@ -208,9 +228,11 @@ def skip_page(buf: memoryview, pos: int) -> int:
     nulls, p = uleb128_decode(buf, p)
     if 0 < nulls < n:
         vlen, p = uleb128_decode(buf, p)
+        _check_len(vlen, buf, p, "validity")
         p += vlen
     _raw, p = uleb128_decode(buf, p)
     plen, p = uleb128_decode(buf, p)
+    _check_len(plen, buf, p, "page payload")
     return p + plen
 
 
@@ -225,13 +247,20 @@ def _decode_nested(buf: memoryview, m: int, field_filter=None) -> pa.Array:
     if tag == _NT_MAP:
         lens, pos = delta.decode_consumed(buf[1:])
         keys, pos = decode_page(buf[1:], pos)
-        items, _ = decode_page(buf[1:], pos)
+        # field_filter projects map VALUE struct fields ("col.field" on a
+        # map<k, struct<...>> column): the value struct's sibling field
+        # pages are skipped by header walk inside the items page; keys are
+        # always decoded (a map without keys is meaningless)
+        items, _ = decode_page(buf[1:], pos, field_filter=field_filter)
         return pa.MapArray.from_arrays(_offsets32(lens), keys, items)
     if tag == _NT_STRUCT:
         n_fields, pos = uleb128_decode(buf, 1)
+        if n_fields > len(buf):
+            raise ValueError(f"corrupt blob: struct field count {n_fields}")
         names = []
         for _ in range(n_fields):
             ln, pos = uleb128_decode(buf, pos)
+            _check_len(ln, buf, pos, "struct field name")
             names.append(bytes(buf[pos : pos + ln]).decode("utf-8"))
             pos += ln
         if field_filter is not None:
@@ -374,7 +403,10 @@ def _decode_values(code: int, kind: str, buf: memoryview, codec: int, m: int, fs
                 if fsst_table is None:
                     raise ValueError("page needs the chunk's shared FSST table")
                 raw_len, pos = uleb128_decode(buf, pos)
+                if raw_len > MAX_PAGE_RAW:
+                    raise ValueError(f"corrupt blob: fsst raw length {raw_len}")
                 plen, pos = uleb128_decode(buf, pos)
+                _check_len(plen, buf, pos, "fsst payload")
                 payload = bytes(buf[pos : pos + plen])
                 from .codecs import native
 
@@ -555,14 +587,19 @@ def decode_page(
     code, codec, outer_id = buf[pos], buf[pos + 1], buf[pos + 2]
     name, dtype, kind, factory = TYPES[code]
     n, p = uleb128_decode(buf, pos + 3)
+    _check_rows(n, "page")
     nulls, p = uleb128_decode(buf, p)
     valid = None
     if 0 < nulls < n:
         vlen, p = uleb128_decode(buf, p)
+        _check_len(vlen, buf, p, "validity")
         valid = rle.decode_bool(buf[p : p + vlen], n)
         p += vlen
     raw_size, p = uleb128_decode(buf, p)
+    if raw_size > MAX_PAGE_RAW:
+        raise ValueError(f"corrupt blob: raw size {raw_size} exceeds {MAX_PAGE_RAW}")
     plen, p = uleb128_decode(buf, p)
+    _check_len(plen, buf, p, "page payload")
     payload = buf[p : p + plen]
     p += plen
 
@@ -845,11 +882,14 @@ def iter_chunk_pages(
         raise ValueError("bad chunk magic")
     _code = buf[4]
     aux_len, pos = uleb128_decode(buf, 5)
+    _check_len(aux_len, buf, pos, "fsst table")
     fsst_table = None
     if aux_len:
         fsst_table, _ = fsst.SymbolTable.deserialize(buf[pos : pos + aux_len])
     pos += aux_len
     n_pages, pos = uleb128_decode(buf, pos)
+    if n_pages > len(buf):  # each page blob is ≥ 1 byte
+        raise ValueError(f"corrupt blob: page count {n_pages} exceeds buffer")
     _n_rows, pos = uleb128_decode(buf, pos)
     lens = []
     for _ in range(n_pages):
@@ -857,6 +897,7 @@ def iter_chunk_pages(
         lens.append(ln)
     first_row = 0
     for i, ln in enumerate(lens):
+        _check_len(ln, buf, pos, f"page {i}")
         page = buf[pos : pos + ln]
         # page n_rows sits right after the 3 header bytes
         page_n, _ = uleb128_decode(page, 3)
@@ -906,8 +947,11 @@ def decode_chunk_rows(
     if bytes(buf[:4]) != CHUNK_MAGIC:
         raise ValueError("bad chunk magic")
     aux_len, pos = uleb128_decode(buf, 5)
+    _check_len(aux_len, buf, pos, "fsst table")
     pos += aux_len
     n_pages, pos = uleb128_decode(buf, pos)
+    if n_pages > len(buf):
+        raise ValueError(f"corrupt blob: page count {n_pages} exceeds buffer")
     _n_rows, pos = uleb128_decode(buf, pos)
     lens = []
     for _ in range(n_pages):
@@ -916,7 +960,9 @@ def decode_chunk_rows(
     fr = 0
     p = pos
     for ln in lens:
+        _check_len(ln, buf, p, "page")
         page_n, _ = uleb128_decode(buf, p + 3)
+        _check_rows(page_n, "page")
         spans.append((fr, page_n))
         fr += page_n
         p += ln

@@ -519,9 +519,21 @@ def decode(
                         _prune_struct(dt.elementType, field_sel[f.name]),
                         dt.containsNull,
                     )
+                elif isinstance(dt, T.MapType) and isinstance(dt.valueType, T.StructType):
+                    # map VALUE struct projection: "col.field" on a
+                    # map<k, struct<...>> keeps the keys and prunes the
+                    # value struct to the selected fields (the reference's
+                    # get_field_columns walks ANY group type the same way,
+                    # reference/src/read/mod.rs:70-77)
+                    dt = T.MapType(
+                        dt.keyType,
+                        _prune_struct(dt.valueType, field_sel[f.name]),
+                        dt.valueContainsNull,
+                    )
                 else:
                     raise TypeError(
-                        f"{f.name} is not a struct or array<struct> — cannot project fields"
+                        f"{f.name} is not a struct, array<struct> or "
+                        f"map<_, struct> — cannot project fields"
                     )
                 f = T.StructField(f.name, dt, f.nullable)
             pruned.append(f)

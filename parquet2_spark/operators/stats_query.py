@@ -23,35 +23,74 @@ from ..plans import bloom
 
 def bucket_stats(df: DataFrame, bucket_expr, value_col: str, out_type: str) -> DataFrame:
     """min/max/null-count/rows of ``value_col`` per bucket, computed with
-    the engine's per-batch stats + partial→final reduce (≙ page stats →
-    chunk stats, reference src/write/statistics.rs)."""
-    src = df.select(bucket_expr.alias("bucket"), F.col(value_col).alias("v"))
+    the engine's per-batch stats kernel as mapInArrow PARTIALS, then a
+    map-side-combinable Catalyst aggregation as the final reduce (≙ page
+    stats → chunk stats, reference src/write/statistics.rs).
 
-    schema = f"bucket long, n_rows long, null_count long, min_v {out_type}, max_v {out_type}"
+    Scale shape: no bucket is ever materialized as one in-memory frame —
+    each Arrow batch contributes one tiny partial row per bucket it
+    touches, and the final min/max/sum reduce is an ordinary shuffle of
+    those partial rows (a hot bucket costs rows ∝ #batches, not ∝ data)."""
+    src = df.select(bucket_expr.cast("long").alias("bucket"), F.col(value_col).alias("v"))
 
-    def per_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        arr = pa.Array.from_pandas(pdf["v"])
-        # page-sized partials, then reduce — exercises the real reduce path
-        pages = [arr.slice(i, 1000) for i in range(0, max(len(arr), 1), 1000)]
-        chunk = stats_mod.reduce([stats_mod.compute(p) for p in pages], keep_pages=False)
-        mn, mx = chunk.min, chunk.max
-        if isinstance(mn, bytes):
-            mn = mn.decode("utf-8", "replace")
-        if isinstance(mx, bytes):
-            mx = mx.decode("utf-8", "replace")
-        return pd.DataFrame(
-            [
-                {
-                    "bucket": key[0],
-                    "n_rows": chunk.n,
-                    "null_count": chunk.null_count,
-                    "min_v": mn,
-                    "max_v": mx,
-                }
-            ]
+    partial_ddl = (
+        f"bucket long, n_rows long, null_count long, min_v {out_type}, max_v {out_type}"
+    )
+    from ..schema import spark_type_to_pa
+
+    fields = src.sparkSession.createDataFrame([], partial_ddl).schema.fields
+    pa_schema = pa.schema(
+        [(f.name, spark_type_to_pa(f.dataType, ts_tz="UTC")) for f in fields]
+    )
+    val_t = pa_schema.field("min_v").type
+
+    def partials(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            import pyarrow.compute as pc
+
+            order = pc.sort_indices(rb.column(0))
+            buckets = rb.column(0).take(order).to_numpy(zero_copy_only=False)
+            vals = rb.column(1).take(order)
+            # bucket run boundaries inside the sorted batch
+            cuts = np.flatnonzero(buckets[1:] != buckets[:-1]) + 1
+            starts = np.concatenate(([0], cuts))
+            stops = np.concatenate((cuts, [len(buckets)]))
+            out = {"bucket": [], "n_rows": [], "null_count": [], "min_v": [], "max_v": []}
+            for s, e in zip(starts, stops):
+                st = stats_mod.compute(vals.slice(s, e - s), full=False)
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    mn = mn.decode("utf-8", "replace")
+                if isinstance(mx, bytes):
+                    mx = mx.decode("utf-8", "replace")
+                out["bucket"].append(int(buckets[s]))
+                out["n_rows"].append(st.n)
+                out["null_count"].append(st.null_count)
+                out["min_v"].append(mn)
+                out["max_v"].append(mx)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["bucket"], type=pa.int64()),
+                    pa.array(out["n_rows"], type=pa.int64()),
+                    pa.array(out["null_count"], type=pa.int64()),
+                    pa.array(out["min_v"], type=val_t),
+                    pa.array(out["max_v"], type=val_t),
+                ],
+                names=["bucket", "n_rows", "null_count", "min_v", "max_v"],
+            )
+
+    return (
+        src.mapInArrow(partials, partial_ddl)
+        .groupBy("bucket")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("null_count").alias("null_count"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
         )
-
-    return src.groupBy("bucket").applyInPandas(per_group, schema)
+    )
 
 
 def bloom_build(df: DataFrame, key_col: str, n_blocks: int, fanin: int = 16) -> bytes:

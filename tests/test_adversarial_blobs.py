@@ -114,3 +114,77 @@ class TestAdversarialNested:
         payload = self._payload()
         with pytest.raises(KeyError):
             blob.decode_chunk(payload, field_filter={"zzz"})
+
+
+class TestForgedLengthGuards:
+    """A corrupt *length field* must fail a cheap bounds check BEFORE any
+    allocation is attempted (≙ reference max_page_size guard,
+    read/page/reader.rs:197-199) — not OOM the executor."""
+
+    def _page(self):
+        page, _ = blob.encode_page(pa.array([f"value-{i}" for i in range(100)]))
+        return bytearray(page)
+
+    def test_forged_row_count_rejected(self):
+        from parquet2_spark.codecs.varint import uleb128_decode, uleb128_encode
+
+        page = self._page()
+        # splice a 2^60 row count in place of the real n
+        _, p_after = uleb128_decode(memoryview(bytes(page)), 3)
+        forged = bytes(page[:3]) + uleb128_encode(1 << 60) + bytes(page[p_after:])
+        with pytest.raises(ValueError, match="row count"):
+            blob.decode_page(forged)
+
+    def test_forged_payload_length_rejected(self):
+        from parquet2_spark.codecs.varint import uleb128_decode, uleb128_encode
+
+        page = self._page()
+        mv = memoryview(bytes(page))
+        n, p = uleb128_decode(mv, 3)
+        nulls, p = uleb128_decode(mv, p)
+        raw, p = uleb128_decode(mv, p)
+        plen, p_payload = uleb128_decode(mv, p)
+        forged = bytes(page[:p]) + uleb128_encode(1 << 62) + bytes(page[p_payload:])
+        with pytest.raises(ValueError, match="length"):
+            blob.decode_page(forged)
+
+    def test_forged_raw_size_rejected(self):
+        from parquet2_spark.codecs.varint import uleb128_decode, uleb128_encode
+
+        page = self._page()
+        mv = memoryview(bytes(page))
+        n, p = uleb128_decode(mv, 3)
+        nulls, p2 = uleb128_decode(mv, p)
+        raw, p3 = uleb128_decode(mv, p2)
+        forged = bytes(page[:p2]) + uleb128_encode(1 << 62) + bytes(page[p3:])
+        with pytest.raises(ValueError, match="raw size|length"):
+            blob.decode_page(forged)
+
+    def test_forged_chunk_page_length_rejected(self):
+        from parquet2_spark.codecs.varint import uleb128_decode, uleb128_encode
+
+        payload, _ = blob.encode_chunk([pa.array(np.arange(100, dtype=np.int64))])
+        mv = memoryview(payload)
+        aux_len, pos = uleb128_decode(mv, 5)
+        pos += aux_len
+        n_pages, pos = uleb128_decode(mv, pos)
+        _n_rows, pos = uleb128_decode(mv, pos)
+        ln, p_after = uleb128_decode(mv, pos)  # first page length
+        forged = bytes(payload[:pos]) + uleb128_encode(1 << 61) + bytes(payload[p_after:])
+        with pytest.raises(ValueError, match="length|exceeds"):
+            list(blob.iter_chunk_pages(forged))
+        with pytest.raises(ValueError, match="length|exceeds"):
+            blob.decode_chunk_rows(forged, 0, 10)
+
+    def test_forged_fsst_table_length_rejected(self):
+        from parquet2_spark.codecs.varint import uleb128_decode, uleb128_encode
+
+        payload, meta = blob.encode_chunk(
+            [pa.array([f"the quick brown fox {i} jumps over" for i in range(500)])],
+            codec=sel.FSST,
+        )
+        mv = memoryview(payload)
+        aux_len, pos = uleb128_decode(mv, 5)
+        forged = bytes(payload[:5]) + uleb128_encode(1 << 61) + bytes(payload[pos:])
+        with pytest.raises(ValueError, match="length|exceeds"):
+            list(blob.iter_chunk_pages(forged))

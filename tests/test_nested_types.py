@@ -308,3 +308,45 @@ def test_list_struct_field_projection(spark, tmp_path_factory):
     got = sorted((r["id"], tuple(e["q"] for e in r["entries"])) for r in out.collect())
     want = sorted((i, tuple(i * 10 + j for j in range(i % 4))) for i in range(500))
     assert got == want
+
+
+def test_map_value_struct_field_projection(spark, tmp_path_factory):
+    """Dotted projection into map VALUES ("counts.n" on
+    map<string, struct<n, blob>>): keys decode fully, the value struct is
+    pruned to the selected fields and sibling value-field pages are
+    skipped inside the items page (reference get_field_columns walks any
+    group type, src/read/mod.rs:70-77). Metadata tables in training
+    pipelines are map-heavy — this is their hot projection path."""
+    from parquet2_spark.operators import decode_job
+    from parquet2_spark.operators.encode_job import EncodeConfig, encode
+
+    rows = [
+        (
+            i,
+            {f"k{j}": {"n": i * 10 + j, "blob": "Z" * 200} for j in range(i % 3 + 1)},
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, counts map<string, struct<n:bigint, blob:string>>"
+    )
+    snap = str(tmp_path_factory.mktemp("snap_mvproj"))
+    encode(spark, df, snap,
+           EncodeConfig(target_rows=200, page_rows=100, sort_by="id", key="id",
+                        host_from_key=False))
+    out = decode_job.decode(spark, snap, columns=["id", "counts.n"])
+    assert dict(out.dtypes)["counts"] == "map<string,struct<n:bigint>>"
+    got = sorted(
+        (r["id"], tuple(sorted((k, v["n"]) for k, v in r["counts"].items())))
+        for r in out.collect()
+    )
+    want = sorted(
+        (i, tuple(sorted((f"k{j}", i * 10 + j) for j in range(i % 3 + 1))))
+        for i in range(400)
+    )
+    assert got == want
+    # full map unchanged when undotted
+    full = decode_job.decode(spark, snap, columns=["id", "counts"])
+    assert dict(full.dtypes)["counts"] == "map<string,struct<n:bigint,blob:string>>"
+    r0 = full.filter(F.col("id") == 7).first()["counts"]
+    assert r0["k0"]["blob"] == "Z" * 200

@@ -172,3 +172,27 @@ def test_bucket_stats_matches_sql(spark, docs):
     assert got["n_rows"].tolist() == want["n_rows"].tolist()
     assert got["min_v"].tolist() == want["min_v"].tolist()
     assert got["max_v"].tolist() == want["max_v"].tolist()
+
+
+def test_bucket_stats_hot_bucket_streams_partials(spark):
+    """One mega-bucket spanning many Arrow batches (maxRecordsPerBatch=1000
+    in conftest): the partial→final shape must produce exact stats without
+    ever materializing the bucket as one frame, and nullable + timestamp
+    values must survive the partial typing."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, base + dt.timedelta(seconds=i) if i % 7 else None) for i in range(5000)
+    ] + [(1, base - dt.timedelta(seconds=i)) for i in range(500)]
+    df = spark.createDataFrame(rows, "b long, ts timestamp").repartition(3)
+    got = {
+        r["bucket"]: r
+        for r in bucket_stats(df, F.col("b"), "ts", "timestamp").collect()
+    }
+    assert got[0]["n_rows"] == 5000
+    assert got[0]["null_count"] == len([i for i in range(5000) if i % 7 == 0])
+    assert got[0]["min_v"] == base + dt.timedelta(seconds=1)
+    assert got[0]["max_v"] == base + dt.timedelta(seconds=4999)
+    assert got[1]["min_v"] == base - dt.timedelta(seconds=499)
+    assert got[1]["max_v"] == base
