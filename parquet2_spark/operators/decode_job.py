@@ -73,7 +73,8 @@ _CHUNKS_DDL = (
     "n_pages int, codecs string, outers string, raw_bytes long, enc_bytes long, "
     "min_bin binary, max_bin binary, min_num long, max_num long, "
     "min_dbl double, max_dbl double, ndv long, "
-    "page_rows string, page_mins string, page_maxs string, bloom binary, payload binary"
+    "page_rows string, page_mins string, page_maxs string, bloom binary, "
+    "ndv_hll binary, payload binary"
 )
 
 
@@ -140,15 +141,37 @@ def stats(spark: SparkSession, snapshot_dir: str) -> DataFrame:
         aggs += [F.min("min_dbl").alias("min_dbl"), F.max("max_dbl").alias("max_dbl")]
     if "ndv" in df.columns:
         aggs.append(F.max("ndv").alias("ndv_hint"))
-    if "ndv_hll" in df.columns:
-        from ..plans import hll as hll_mod
-
-        aggs.append(hll_mod.merge_agg(F.col("ndv_hll")).alias("ndv_sketch"))
     out = df.groupBy("column", "codecs").agg(*aggs)
     if "ndv_hll" in df.columns:
-        out = out.withColumn("ndv_est", hll_mod.estimate_col(F.col("ndv_sketch"))).drop(
-            "ndv_sketch"
+        # table-level NDV from the per-chunk HLL register files. Spark
+        # disallows mixing a grouped-agg pandas UDF with built-in aggs, so
+        # the sketches merge in their own two-stage pass: a per-batch
+        # partial merge (one 64 KB row per group per Arrow batch — a
+        # million-chunk column never ships a million sketches to one
+        # task), then the final grouped merge + estimate.
+        import pandas as pd
+
+        from ..plans import hll as hll_mod
+
+        def premerge(pdfs):
+            for pdf in pdfs:
+                g = (
+                    pdf.groupby(["column", "codecs"])["ndv_hll"]
+                    .apply(hll_mod.merge)
+                    .reset_index()
+                )
+                yield g
+
+        partials = df.select("column", "codecs", "ndv_hll").mapInPandas(
+            premerge, "column string, codecs string, ndv_hll binary"
         )
+        sk = partials.groupBy("column", "codecs").agg(
+            hll_mod.merge_agg(F.col("ndv_hll")).alias("ndv_sketch")
+        )
+        sk = sk.select(
+            "column", "codecs", hll_mod.estimate_col(F.col("ndv_sketch")).alias("ndv_est")
+        )
+        out = out.join(F.broadcast(sk), ["column", "codecs"], "left")
     return out.orderBy("column", "codecs")
 
 

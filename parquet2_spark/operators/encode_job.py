@@ -102,6 +102,7 @@ CHUNK_PA_SCHEMA = pa.schema(
         ("page_mins", pa.string()),
         ("page_maxs", pa.string()),
         ("bloom", pa.binary()),
+        ("ndv_hll", pa.binary()),
         ("payload", pa.binary()),
     ]
 )
@@ -122,6 +123,12 @@ class EncodeConfig:
     # JVM-side with xxhash64 before the shuffle; probed by decode key_eq)
     bloom_columns: tuple = ()
     bloom_fpp: float = 0.01
+    # per-chunk HLL register files (64 KB, p=16) for mergeable table-level
+    # NDV (reference keeps exact per-chunk distinct_count only,
+    # statistics/mod.rs:20-26). Values hash JVM-side (xxhash64 in codegen,
+    # shared with the bloom hash column when both are on); the sketch adds
+    # 8 B/row/column to the shuffle and ~ms of register scatter per chunk.
+    ndv_sketch: bool = True
     # pyarrow.fs.FileSystem for the metadata plane (markers/sidecars/chunk
     # writes); None → resolved from the path (URI scheme or local).
     # pyarrow filesystems pickle, so this rides into executor closures.
@@ -264,19 +271,32 @@ def _encode_partition_arrow(
         pages = [arr.slice(s, ln) for s, ln in page_slices] if n else [arr]
         payload, meta = blob.encode_chunk(pages, cfg.selector)
         min_bin, max_bin, min_num, max_num, min_dbl, max_dbl = _stat_cols(meta)
-        bloom_bytes = None
-        if col in cfg.bloom_columns and n:
+        def _hashes(name: str) -> np.ndarray | None:
             # hashes were computed JVM-side (xxhash64) before the shuffle;
             # drop nulls ARROW-side — a float64 round-trip would corrupt
             # 64-bit hashes (53-bit mantissa) and break the
             # no-false-negative guarantee
-            from ..plans import bloom as bloom_mod
-
-            ha = in_table.column(f"_bh_{col}").combine_chunks()
+            if name not in in_table.schema.names:
+                return None
+            ha = in_table.column(name).combine_chunks()
             if ha.null_count:
                 ha = ha.drop_null()
-            hv = ha.to_numpy(zero_copy_only=True).astype(np.int64, copy=False)
-            bloom_bytes = bloom_mod.build(hv.view(np.uint64), fpp=cfg.bloom_fpp)
+            return ha.to_numpy(zero_copy_only=True).astype(np.int64, copy=False).view(np.uint64)
+
+        bloom_bytes = None
+        hv = None
+        if col in cfg.bloom_columns and n:
+            from ..plans import bloom as bloom_mod
+
+            hv = _hashes(f"_bh_{col}")
+            bloom_bytes = bloom_mod.build(hv, fpp=cfg.bloom_fpp)
+        ndv_hll = None
+        if cfg.ndv_sketch and n:
+            from ..plans import hll as hll_mod
+
+            hn = hv if hv is not None else _hashes(f"_nh_{col}")
+            if hn is not None:
+                ndv_hll = hll_mod.sketch_from_hashes(hn)
         rows.append(
             {
                 "part_id": part_id,
@@ -300,6 +320,7 @@ def _encode_partition_arrow(
                 "page_mins": json.dumps([_jstat(v, round_up=False) for v in meta.page_mins]),
                 "page_maxs": json.dumps([_jstat(v, round_up=True) for v in meta.page_maxs]),
                 "bloom": bloom_bytes,
+                "ndv_hll": ndv_hll,
                 "payload": payload,
             }
         )
@@ -326,13 +347,21 @@ def _encode_partition_arrow(
         "wall_s": wall,
         "cpu_s": time.process_time() - c0,
         "chunks": [
-            {k: _jsafe(v) for k, v in r.items() if k not in ("payload", "bloom")} for r in rows
+            {k: _jsafe(v) for k, v in r.items() if k not in ("payload", "bloom", "ndv_hll")}
+            for r in rows
         ],
     }
     fsio.write_json_atomic(fs, fsio.join(commits_dir, f"{part_id}.json"), marker)
 
     metric_rows = [
-        {**{k: v for k, v in r.items() if k not in ("payload", "bloom", "page_mins", "page_maxs")}, "wall_s": wall}
+        {
+            **{
+                k: v
+                for k, v in r.items()
+                if k not in ("payload", "bloom", "ndv_hll", "page_mins", "page_maxs")
+            },
+            "wall_s": wall,
+        }
         for r in rows
     ]
     return pa.Table.from_pylist(metric_rows, schema=METRICS_PA_SCHEMA)
@@ -412,6 +441,18 @@ def encode(
             raise KeyError(f"bloom column {c} not in frame (have {columns})")
         # JVM-side, vectorized — probe-time uses the same F.xxhash64
         planned = planned.withColumn(f"_bh_{c}", F.xxhash64(F.col(c)))
+    if cfg.ndv_sketch:
+        dtypes = dict(df.dtypes)
+        for c in columns:
+            if c in cfg.bloom_columns:
+                continue  # the bloom hash column doubles as the ndv hash
+            # xxhash64 rejects MapType anywhere in the type — fold through
+            # to_json (stable key order is not guaranteed, but NDV only
+            # needs hash-of-equal-values-collide *within* this engine's
+            # deterministic map construction; a small over-count for
+            # re-ordered equal maps is acceptable for a ~1% estimator)
+            expr = F.to_json(F.col(c)) if "map<" in dtypes[c] else F.col(c)
+            planned = planned.withColumn(f"_nh_{c}", F.xxhash64(expr))
 
     already = committed_parts(snapshot_dir, cfg.filesystem) if resume else set()
     if already:

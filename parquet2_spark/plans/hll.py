@@ -1,0 +1,98 @@
+"""HyperLogLog sketches for table-level NDV.
+
+The reference carries an exact per-chunk ``distinct_count``
+(reference/src/statistics/mod.rs:20-26) but nothing mergeable across
+chunks; at 10^12 documents a *table-level* NDV (join planning, bloom
+sizing, dictionary-codec viability) needs a mergeable sketch. Each chunk
+stores a 64 KB HLL register file (p=16 → 65536 registers, ~0.4% standard
+error; worst observed ~1% in the raw-estimator bias region); ``stats()``
+max-merges them per column and reports the estimate.
+
+Value hashing happens JVM-side (``F.xxhash64`` inside whole-stage
+codegen, exactly like the bloom hash columns) — the executor-side Python
+only scatters 64-bit hashes into registers with one ``np.maximum.at``,
+so the sketch adds no per-byte Python work to the encode hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+P = 16  # 2^16 = 65536 registers, 1 byte each (64 KB per chunk per column)
+M = 1 << P
+_Q = 64 - P  # 48 rank bits — < 53, so float64 frexp rank extraction is exact
+
+
+def _mix64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finisher — used by tests to synthesize hash streams."""
+    z = (z + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def sketch_from_hashes(h: np.ndarray) -> bytes:
+    """HLL register file (M bytes) from 64-bit hashes (uint64)."""
+    regs = np.zeros(M, dtype=np.uint8)
+    if len(h):
+        idx = (h >> np.uint64(_Q)).astype(np.int64)
+        w = h & np.uint64((1 << _Q) - 1)
+        # rank = leading-zero count of the Q-bit tail + 1; Q=48 bits fit
+        # float64 exactly, so frexp's exponent gives floor(log2)+1 exactly
+        _, e = np.frexp(w.astype(np.float64))
+        rank = np.where(w == 0, _Q + 1, _Q + 1 - e).astype(np.uint8)
+        np.maximum.at(regs, idx, rank)
+    return regs.tobytes()
+
+
+def merge(sketches) -> bytes | None:
+    regs = None
+    for b in sketches:
+        if b is None:
+            continue
+        r = np.frombuffer(b, dtype=np.uint8)
+        regs = r.copy() if regs is None else np.maximum(regs, r)
+    return None if regs is None else regs.tobytes()
+
+
+def estimate(sketch: bytes) -> int:
+    """Standard HLL estimator with small-range (linear counting)
+    correction; 64-bit hashes need no large-range correction."""
+    regs = np.frombuffer(sketch, dtype=np.uint8).astype(np.float64)
+    alpha = 0.7213 / (1 + 1.079 / M)
+    est = alpha * M * M / np.sum(np.exp2(-regs))
+    if est <= 2.5 * M:
+        zeros = int((regs == 0).sum())
+        if zeros:
+            est = M * np.log(M / zeros)
+    return int(round(est))
+
+
+# ---- Spark aggregation surface (used by decode_job.stats) ----
+
+
+def merge_agg(col):
+    """Grouped-agg pandas UDF: max-merge the group's register files.
+    (Explicit GROUPED_AGG eval type: the type-hint inference has no
+    Series → bytes signature.)"""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType
+
+    @F.pandas_udf("binary", PandasUDFType.GROUPED_AGG)
+    def _merge(s):
+        return merge(s)
+
+    return _merge(col)
+
+
+def estimate_col(col):
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _est(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if b is None else estimate(b) for b in s], dtype="Int64"
+        )
+
+    return _est(col)

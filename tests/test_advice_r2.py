@@ -209,7 +209,7 @@ class TestOldSnapshotStats:
 
         for f in glob.glob(f"{d}/chunks/*.parquet"):
             t = pq.read_table(f)
-            t = t.drop_columns(["min_dbl", "max_dbl", "ndv"])
+            t = t.drop_columns(["min_dbl", "max_dbl", "ndv", "ndv_hll"])
             pq.write_table(t, f, compression="none")
         rows = decode_job.stats(spark, d).collect()
         assert {r["column"] for r in rows} == {"k", "u"}

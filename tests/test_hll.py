@@ -1,0 +1,101 @@
+"""Table-level NDV via per-chunk HLL sketches (VERDICT r2 item 7;
+reference parity: exact per-chunk distinct_count, statistics/mod.rs:20-26,
+made mergeable across 10^12-doc tables)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from parquet2_spark.operators import decode_job
+from parquet2_spark.operators.encode_job import EncodeConfig, encode
+from parquet2_spark.plans import hll
+
+
+class TestHLLUnit:
+    def _hashes(self, n, seed=0):
+        return hll._mix64(np.arange(seed * 10_000_000, seed * 10_000_000 + n, dtype=np.uint64))
+
+    @pytest.mark.parametrize("n", [10, 1000, 50_000, 1_000_000])
+    def test_estimate_within_2pct(self, n):
+        est = hll.estimate(hll.sketch_from_hashes(self._hashes(n)))
+        assert abs(est - n) / n < 0.02
+
+    def test_merge_is_union(self):
+        a = hll.sketch_from_hashes(self._hashes(60_000, seed=0))
+        b = hll.sketch_from_hashes(self._hashes(60_000, seed=0))  # same set
+        c = hll.sketch_from_hashes(self._hashes(60_000, seed=3))  # disjoint
+        same = hll.estimate(hll.merge([a, b]))
+        union = hll.estimate(hll.merge([a, c]))
+        assert abs(same - 60_000) / 60_000 < 0.02
+        assert abs(union - 120_000) / 120_000 < 0.02
+
+    def test_merge_skips_none(self):
+        a = hll.sketch_from_hashes(self._hashes(1000))
+        assert hll.merge([None, a, None]) == a
+        assert hll.merge([None, None]) is None
+
+    def test_empty_sketch_estimates_zero(self):
+        assert hll.estimate(hll.sketch_from_hashes(np.zeros(0, dtype=np.uint64))) == 0
+
+
+class TestHLLThroughEngine:
+    @pytest.fixture(scope="class")
+    def snap(self, spark, tmp_path_factory):
+        df = spark.range(30_000).select(
+            F.col("id").alias("k"),
+            F.concat(
+                F.lit("https://host"), (F.col("id") % 997).cast("string"),
+                F.lit("/p"), F.col("id").cast("string"),
+            ).alias("url"),
+            (F.col("id") % 7).cast("string").alias("lang"),
+            F.when(F.col("id") % 11 == 0, None)
+            .otherwise((F.col("id") % 500).cast("double")).alias("score"),
+        )
+        d = str(tmp_path_factory.mktemp("snap_hll"))
+        encode(spark, df, d,
+               EncodeConfig(target_rows=8000, page_rows=2000, sort_by="url", key="url"))
+        return d
+
+    def test_stats_ndv_within_2pct(self, spark, snap):
+        rows = {r["column"]: r for r in decode_job.stats(spark, snap).collect()}
+        for col, exact in (("k", 30_000), ("url", 30_000), ("lang", 7), ("score", 500)):
+            est = rows[col]["ndv_est"]
+            assert est is not None
+            assert abs(est - exact) / exact < 0.02, (col, est, exact)
+
+    def test_sketch_can_be_disabled(self, spark, tmp_path):
+        df = spark.range(100).select(F.col("id").alias("k"), F.col("id").cast("string").alias("u"))
+        d = str(tmp_path / "nosketch")
+        encode(spark, df, d,
+               EncodeConfig(target_rows=100, key="k", sort_by="k", host_from_key=False,
+                            ndv_sketch=False))
+        chunks = decode_job.chunks_df(spark, d)
+        assert chunks.filter(F.col("ndv_hll").isNotNull()).count() == 0
+        rows = decode_job.stats(spark, d).collect()
+        assert all(r["ndv_est"] is None for r in rows)
+
+    def test_bloom_hash_column_reused(self, spark, tmp_path):
+        # bloom + ndv on the same column: one JVM hash column feeds both
+        df = spark.range(5000).select(F.col("id").alias("k"), F.col("id").cast("string").alias("u"))
+        d = str(tmp_path / "bloomhll")
+        encode(spark, df, d,
+               EncodeConfig(target_rows=2000, key="k", sort_by="k", host_from_key=False,
+                            bloom_columns=("k",)))
+        rows = {r["column"]: r for r in decode_job.stats(spark, d).collect()}
+        assert abs(rows["k"]["ndv_est"] - 5000) / 5000 < 0.02
+        # and the bloom still probes correctly
+        got = decode_job.decode(spark, d, key_eq=("k", 1234)).collect()
+        assert [r["k"] for r in got] == [1234]
+
+    def test_map_column_sketch_via_to_json(self, spark, tmp_path):
+        df = spark.range(2000).select(
+            F.col("id").alias("k"),
+            F.create_map(F.lit("a"), F.col("id") % 100).alias("m"),
+        )
+        d = str(tmp_path / "maphll")
+        encode(spark, df, d,
+               EncodeConfig(target_rows=1000, key="k", sort_by="k", host_from_key=False))
+        rows = {r["column"]: r for r in decode_job.stats(spark, d).collect()}
+        assert abs(rows["m"]["ndv_est"] - 100) <= 2
