@@ -190,6 +190,75 @@ void simhash64(const uint64_t *h, int64_t n, const int64_t *seg_starts,
     }
 }
 
+/* LSB-first k-bit unpack (bitpacked/unpack.rs semantics, one generic
+ * kernel instead of const-generic monomorphs): value i occupies bits
+ * [i*num_bits, (i+1)*num_bits) of buf. Fast path reads an unaligned
+ * 8-byte window (+1 spill byte) per value; the last few values whose
+ * window would over-read the buffer go through a zero-padded local
+ * copy. Caller guarantees nbytes >= ceil(n*num_bits/8). */
+void unpack_bits(const uint8_t *buf, int64_t nbytes, int32_t num_bits,
+                 int64_t n, uint64_t *out) {
+    if (num_bits <= 0) { memset(out, 0, (size_t)n * 8); return; }
+    uint64_t mask = (num_bits >= 64) ? ~0ULL : ((1ULL << num_bits) - 1);
+    int64_t safe_n = 0;
+    if (nbytes >= 9) {
+        safe_n = ((nbytes - 9) * 8 + 7) / num_bits + 1;
+        if (safe_n > n) safe_n = n;
+    }
+    int64_t i = 0, bitpos = 0;
+    for (; i < safe_n; i++, bitpos += num_bits) {
+        int64_t byte = bitpos >> 3;
+        int shift = (int)(bitpos & 7);
+        uint64_t v;
+        memcpy(&v, buf + byte, 8);
+        v >>= shift;
+        if (shift + num_bits > 64)
+            v |= ((uint64_t)buf[byte + 8]) << (64 - shift);
+        out[i] = v & mask;
+    }
+    if (i < n) {
+        /* remaining values span < 9 real bytes; a 32-byte zero-padded
+         * window keeps every per-value 9-byte read in bounds */
+        uint8_t tmp[32] = {0};
+        int64_t start = bitpos >> 3;
+        int64_t avail = nbytes - start;
+        if (avail > 0)
+            memcpy(tmp, buf + start, (size_t)(avail < 23 ? avail : 23));
+        for (; i < n; i++, bitpos += num_bits) {
+            int64_t rel = bitpos - start * 8;
+            int64_t byte = rel >> 3;
+            int shift = (int)(rel & 7);
+            uint64_t v;
+            memcpy(&v, tmp + byte, 8);
+            v >>= shift;
+            if (shift + num_bits > 64)
+                v |= ((uint64_t)tmp[byte + 8]) << (64 - shift);
+            out[i] = v & mask;
+        }
+    }
+}
+
+/* LSB-first k-bit pack: inverse of unpack_bits. vals must be masked to
+ * num_bits (the python wrapper masks). out must be zeroed and sized
+ * ceil(n*num_bits/8) + 8 (spill lets the writer RMW whole words).
+ * Returns payload bytes written (excluding spill). */
+int64_t pack_bits(const uint64_t *vals, int64_t n, int32_t num_bits,
+                  uint8_t *out) {
+    if (num_bits <= 0 || n == 0) return 0;
+    int64_t bitpos = 0;
+    for (int64_t i = 0; i < n; i++, bitpos += num_bits) {
+        int64_t byte = bitpos >> 3;
+        int shift = (int)(bitpos & 7);
+        uint64_t v;
+        memcpy(&v, out + byte, 8);
+        v |= vals[i] << shift;
+        memcpy(out + byte, &v, 8);
+        if (shift + num_bits > 64)
+            out[byte + 8] |= (uint8_t)(vals[i] >> (64 - shift));
+    }
+    return (n * num_bits + 7) / 8;
+}
+
 /* Front-coding (DELTA_BYTE_ARRAY) reconstruction: value i = first
  * prefix_lens[i] bytes of value i-1 + its suffix. Sequential by nature —
  * exactly why it lives in C. Returns total bytes written or -1. */

@@ -1,17 +1,24 @@
-"""K-bit LSB-first bit-packing, vectorized with numpy.
+"""K-bit LSB-first bit-packing: C kernel with a numpy fallback.
 
 Parquet-compatible layout (same math as the reference's const-generic pack
 kernels, /root/reference/src/encoding/bitpacked/{encode,decode}.rs and
 pack.rs/unpack.rs): value i occupies bits [i*num_bits, (i+1)*num_bits) of the
 output, least-significant-bit first within each byte.
 
-The reference monomorphizes per-width Rust kernels; here a single numpy
-bit-matrix transform covers all widths (one vector op per bit, ≤64 ops).
+The reference monomorphizes per-width Rust kernels; here ONE generic C
+kernel (unaligned 8-byte window + shift per value, codecs/_native.c)
+covers all widths, with a numpy bit-matrix transform as the
+compiler-less fallback. Both paths are byte-identical (asserted in
+tests); the C unpack is the decode hot path's floor-setter — the numpy
+unpackbits route materializes an n*num_bits byte matrix, ~8× the
+payload traffic.
 """
 
 from __future__ import annotations
 
 import numpy as np
+
+from . import native
 
 
 def bits_needed(max_value: int) -> int:
@@ -30,6 +37,19 @@ def pack(values: np.ndarray, num_bits: int) -> bytes:
     if num_bits > 64:
         raise ValueError(f"num_bits {num_bits} > 64")
     v = np.ascontiguousarray(values, dtype=np.uint64)
+    if num_bits < 64:
+        # low-bits extraction, matching the numpy path's semantics (the C
+        # kernel ORs whole words, so stray high bits would corrupt
+        # neighbors)
+        v = v & np.uint64((1 << num_bits) - 1)
+    out = native.pack_bits(v, num_bits)
+    if out is not None:
+        return out
+    return _pack_numpy(v, num_bits)
+
+
+def _pack_numpy(v: np.ndarray, num_bits: int) -> bytes:
+    n = len(v)
     bits = np.empty((n, num_bits), dtype=np.uint8)
     for b in range(num_bits):
         bits[:, b] = (v >> np.uint64(b)).astype(np.uint8) & 1
@@ -51,6 +71,13 @@ def unpack(buf: bytes | memoryview | np.ndarray, num_bits: int, n: int) -> np.nd
     need_bytes = (n * num_bits + 7) // 8
     if len(raw) < need_bytes:
         raise ValueError(f"buffer too small: {len(raw)} < {need_bytes}")
+    out = native.unpack_bits(raw, num_bits, n)
+    if out is not None:
+        return out
+    return _unpack_numpy(raw, num_bits, n, need_bytes)
+
+
+def _unpack_numpy(raw: np.ndarray, num_bits: int, n: int, need_bytes: int) -> np.ndarray:
     bits = np.unpackbits(raw[:need_bytes], count=n * num_bits, bitorder="little")
     bits = bits.reshape(n, num_bits)
     out = np.zeros(n, dtype=np.uint64)

@@ -86,6 +86,21 @@ def _build() -> "ctypes.CDLL | None":
         ctypes.c_int64,
         ctypes.c_void_p,
     ]
+    lib.unpack_bits.restype = None
+    lib.unpack_bits.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int64,
+        ctypes.c_void_p,
+    ]
+    lib.pack_bits.restype = ctypes.c_int64
+    lib.pack_bits.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_void_p,
+    ]
     lib.fsst_decode.restype = ctypes.c_int64
     lib.fsst_decode.argtypes = [
         ctypes.c_void_p,
@@ -175,6 +190,30 @@ def simhash64(h, seg_starts):
     out = np.empty(len(ss), dtype=np.int64)
     lib.simhash64(hv.ctypes.data, len(hv), ss.ctypes.data, len(ss), out.ctypes.data)
     return out
+
+
+def unpack_bits(buf, num_bits: int, n: int):
+    """C k-bit unpack → uint64 array, or None if unavailable. Caller has
+    already bounds-checked len(buf) >= ceil(n*num_bits/8)."""
+    lib = get()
+    if lib is None:
+        return None
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    out = np.empty(n, dtype=np.uint64)
+    lib.unpack_bits(raw.ctypes.data, len(raw), num_bits, n, out.ctypes.data)
+    return out
+
+
+def pack_bits(vals: np.ndarray, num_bits: int):
+    """C k-bit pack → bytes, or None if unavailable. vals must be
+    contiguous uint64 already masked to num_bits."""
+    lib = get()
+    if lib is None:
+        return None
+    need = (len(vals) * num_bits + 7) // 8
+    out = np.zeros(need + 8, dtype=np.uint8)
+    lib.pack_bits(vals.ctypes.data, len(vals), num_bits, out.ctypes.data)
+    return out[:need].tobytes()
 
 
 def front_decode(prefix_lens, suffix_lens, suffixes: bytes, out_size: int):

@@ -61,6 +61,31 @@ def test_bitpack_roundtrip(num_bits, n):
     np.testing.assert_array_equal(out, vals)
 
 
+@pytest.mark.parametrize("num_bits", list(range(1, 65)))
+def test_bitpack_c_kernel_matches_numpy(num_bits):
+    """The C pack/unpack kernels must be byte-identical to the pure-numpy
+    fallbacks at every width (including unaligned tails)."""
+    from parquet2_spark.codecs import native
+
+    if native.get() is None:
+        pytest.skip("no C compiler on this host")
+    for n in (1, 3, 8, 9, 127, 1000):
+        if num_bits == 64:
+            vals = RNG.integers(0, 1 << 63, n, dtype=np.uint64) * 2 + RNG.integers(
+                0, 2, n, dtype=np.uint64
+            )
+        else:
+            vals = RNG.integers(0, (1 << num_bits) - 1, n, endpoint=True, dtype=np.uint64)
+        ref = bitpack._pack_numpy(vals, num_bits)
+        assert native.pack_bits(vals, num_bits) == ref, (num_bits, n)
+        raw = np.frombuffer(ref, dtype=np.uint8)
+        np.testing.assert_array_equal(
+            native.unpack_bits(raw, num_bits, n),
+            bitpack._unpack_numpy(raw, num_bits, n, len(raw)),
+            err_msg=f"w={num_bits} n={n}",
+        )
+
+
 def test_bitpack_width_zero():
     assert bitpack.pack(np.zeros(5, dtype=np.uint64), 0) == b""
     np.testing.assert_array_equal(bitpack.unpack(b"", 0, 5), np.zeros(5, dtype=np.uint64))
