@@ -73,9 +73,53 @@ _CHUNKS_DDL = (
     "n_pages int, codecs string, outers string, raw_bytes long, enc_bytes long, "
     "min_bin binary, max_bin binary, min_num long, max_num long, "
     "min_dbl double, max_dbl double, ndv long, "
-    "page_rows string, page_mins string, page_maxs string, bloom binary, "
-    "ndv_hll binary, payload binary"
+    "page_rows string, page_mins string, page_maxs string, bounds_order string, "
+    "bloom binary, ndv_hll binary, payload binary"
 )
+
+
+def _page_keep_for_range(mins: list, maxs: list, lo, hi, order: str | None) -> set:
+    """Page indexes whose [min,max] may intersect [lo,hi] (None bound =
+    open side). When the chunk's zone maps are boundary-ordered
+    ('asc'/'desc' from the encoder, the ColumnIndex boundary_order
+    analog — reference/src/write/indexes/serialize.rs:12-58) and fully
+    populated, the surviving pages form one contiguous run found by
+    binary search; otherwise a linear scan with the standard
+    no-stat/inverted-keep rules. Both paths return identical sets
+    (asserted in tests)."""
+    n = len(mins)
+    as_str = isinstance(lo, str) or isinstance(hi, str)
+    if (
+        order in ("asc", "desc")
+        and n > 1
+        and all(m is not None for m in mins)
+        and all(m is not None for m in maxs)
+    ):
+        import bisect
+
+        m_min, m_max = (mins, maxs) if order == "asc" else (mins[::-1], maxs[::-1])
+        if as_str:
+            m_min = [str(v) for v in m_min]
+            m_max = [str(v) for v in m_max]
+        # first page whose max >= lo, one past the last whose min <= hi
+        first = 0 if lo is None else bisect.bisect_left(m_max, lo)
+        last = n if hi is None else bisect.bisect_right(m_min, hi)
+        if order == "desc":
+            first, last = n - last, n - first
+        return set(range(first, max(first, last)))
+    keep = set()
+    for i, (mn, mx) in enumerate(zip(mins, maxs)):
+        if mn is None or mx is None:
+            keep.add(i)  # no stats → cannot prune
+            continue
+        if as_str:
+            mn, mx = str(mn), str(mx)
+        elif mn > mx:
+            keep.add(i)  # inverted (pre-NaN-fix all-NaN page) → no-stat
+            continue
+        if (hi is None or mn <= hi) and (lo is None or mx >= lo):
+            keep.add(i)
+    return keep
 
 
 def chunks_df(
@@ -506,9 +550,10 @@ def decode(
         # column still produce their rows (as nulls) when only new
         # columns are projected
         need = sorted(set(need) | {lin["columns"][0]})
-    df = df.filter(F.col("column").isin(need)).select(
-        "part_id", "column", "payload", "page_mins", "page_maxs", "page_rows"
-    )
+    meta_cols = ["part_id", "column", "payload", "page_mins", "page_maxs", "page_rows"]
+    if "bounds_order" in df.columns:  # absent in pre-r3 snapshots
+        meta_cols.append("bounds_order")
+    df = df.filter(F.col("column").isin(need)).select(*meta_cols)
 
     # the exact arrow types Spark expects back — Spark's Arrow exchange
     # carries TimestampType as tz-aware UTC regardless of
@@ -582,25 +627,15 @@ def decode(
         # across a partition's columns, so the same subset keeps columns
         # consistent) — the IndexedPageReader/select_pages analog.
         page_keep = None
+        has_order = "bounds_order" in tbl.schema.names
         for kcol, lo, hi in krs:
             if kcol not in names:
                 continue  # column absent in this (older) partition
             idx = names.index(kcol)
             mins = json.loads(tbl.column("page_mins")[idx].as_py())
             maxs = json.loads(tbl.column("page_maxs")[idx].as_py())
-            as_str = isinstance(lo, str) or isinstance(hi, str)
-            keep = set()
-            for i, (mn, mx) in enumerate(zip(mins, maxs)):
-                if mn is None or mx is None:
-                    keep.add(i)  # no stats → cannot prune
-                    continue
-                if as_str:
-                    mn, mx = str(mn), str(mx)
-                elif mn > mx:
-                    keep.add(i)  # inverted (pre-NaN-fix all-NaN page) → no-stat
-                    continue
-                if (hi is None or mn <= hi) and (lo is None or mx >= lo):
-                    keep.add(i)
+            order = tbl.column("bounds_order")[idx].as_py() if has_order else None
+            keep = _page_keep_for_range(mins, maxs, lo, hi, order)
             # AND across predicates: a page must survive every range
             page_keep = keep if page_keep is None else (page_keep & keep)
 

@@ -101,6 +101,7 @@ CHUNK_PA_SCHEMA = pa.schema(
         ("page_rows", pa.string()),
         ("page_mins", pa.string()),
         ("page_maxs", pa.string()),
+        ("bounds_order", pa.string()),
         ("bloom", pa.binary()),
         ("ndv_hll", pa.binary()),
         ("payload", pa.binary()),
@@ -241,6 +242,27 @@ def _stat_cols(meta: blob.ChunkMeta):
     return None, None, as_num(mn), as_num(mx), None, None
 
 
+def _bounds_order(mins: list, maxs: list) -> str:
+    """Boundary order of a chunk's page zone maps, the ColumnIndex
+    boundary_order analog (reference/src/write/indexes/serialize.rs:12-58):
+    'asc'/'desc' when BOTH min and max sequences are monotone (enables
+    binary-search page selection at decode), else 'unord'. Any missing
+    stat forfeits the claim."""
+    if any(m is None for m in mins) or any(m is None for m in maxs):
+        return "unord"
+    if len(mins) <= 1:
+        return "asc"
+    pairs = list(zip(mins, mins[1:])) + list(zip(maxs, maxs[1:]))
+    try:
+        if all(a <= b for a, b in pairs):
+            return "asc"
+        if all(a >= b for a, b in pairs):
+            return "desc"
+    except TypeError:  # mixed stat types — no ordering claim
+        return "unord"
+    return "unord"
+
+
 def _encode_partition_arrow(
     in_table: pa.Table,
     cfg: EncodeConfig,
@@ -297,6 +319,8 @@ def _encode_partition_arrow(
             hn = hv if hv is not None else _hashes(f"_nh_{col}")
             if hn is not None:
                 ndv_hll = hll_mod.sketch_from_hashes(hn)
+        jmins = [_jstat(v, round_up=False) for v in meta.page_mins]
+        jmaxs = [_jstat(v, round_up=True) for v in meta.page_maxs]
         rows.append(
             {
                 "part_id": part_id,
@@ -317,8 +341,9 @@ def _encode_partition_arrow(
                 "max_dbl": max_dbl,
                 "ndv": int(meta.ndv_hint),
                 "page_rows": json.dumps(meta.page_rows),
-                "page_mins": json.dumps([_jstat(v, round_up=False) for v in meta.page_mins]),
-                "page_maxs": json.dumps([_jstat(v, round_up=True) for v in meta.page_maxs]),
+                "page_mins": json.dumps(jmins),
+                "page_maxs": json.dumps(jmaxs),
+                "bounds_order": _bounds_order(jmins, jmaxs),
                 "bloom": bloom_bytes,
                 "ndv_hll": ndv_hll,
                 "payload": payload,

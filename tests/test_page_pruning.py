@@ -46,3 +46,55 @@ def test_page_pruning_numeric_key(spark, tmp_path_factory):
     ).count()
     want = 501  # ids 0..500 inclusive fall in the first 500 seconds (+jitter<2s)
     assert abs(got - 501) <= 2
+
+
+class TestBoundaryOrder:
+    """bounds_order hint + binary-search page selection (ColumnIndex
+    boundary_order analog, reference/src/write/indexes/serialize.rs:12-58)."""
+
+    def test_binary_search_matches_linear_scan(self):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        for _ in range(300):
+            n = int(rng.integers(1, 20))
+            # random non-overlapping-ish sorted page bounds
+            starts = np.sort(rng.integers(0, 1000, n))
+            widths = rng.integers(0, 50, n)
+            mins = starts.tolist()
+            maxs = (starts + widths).tolist()
+            # force max monotonicity for the 'asc' claim
+            maxs = np.maximum.accumulate(maxs).tolist()
+            for _ in range(8):
+                lo = int(rng.integers(-50, 1100))
+                hi = lo + int(rng.integers(0, 300))
+                lo_b = None if rng.random() < 0.15 else lo
+                hi_b = None if rng.random() < 0.15 else hi
+                fast = decode_job._page_keep_for_range(mins, maxs, lo_b, hi_b, "asc")
+                slow = decode_job._page_keep_for_range(mins, maxs, lo_b, hi_b, None)
+                assert fast == slow, (mins, maxs, lo_b, hi_b)
+                # desc: mirrored arrays must select the mirrored set
+                dfast = decode_job._page_keep_for_range(
+                    mins[::-1], maxs[::-1], lo_b, hi_b, "desc"
+                )
+                assert dfast == {len(mins) - 1 - i for i in slow}
+
+    def test_missing_stats_forfeit_order(self):
+        keep = decode_job._page_keep_for_range([1, None, 5], [2, None, 9], 3, 4, "asc")
+        assert keep == {1}  # no-stat page kept, linear rules apply
+
+    def test_engine_records_order_and_prunes(self, spark, tmp_path):
+        from parquet2_spark.sources import webgen
+
+        snap = str(tmp_path / "snap_bo")
+        df = webgen.webpages_df(spark, 2000, partitions=2)
+        encode(spark, df, snap, EncodeConfig(target_rows=1000, page_rows=100, sort_by="url"))
+        chunks = decode_job.chunks_df(spark, snap)
+        orders = {r["column"]: r["bounds_order"] for r in chunks.collect()}
+        assert orders["url"] == "asc"  # the sort key is boundary-ordered
+        lo, hi = "https://host001", "https://host004"
+        got = decode_job.decode(
+            spark, snap, columns=["url"], key_range=("url", lo, hi)
+        ).filter(F.col("url").between(lo, hi)).count()
+        want = df.filter(F.col("url").between(lo, hi)).count()
+        assert want > 0 and got == want
