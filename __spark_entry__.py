@@ -80,6 +80,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             li, F.pmod(F.col("l_orderkey"), F.lit(8)), "l_extendedprice", "double"
         )
 
+    def stats_ndv_hll(spark, sf_dir):
+        """Table-level NDV from merged per-chunk HLL sketches (the
+        reference carries exact per-chunk distinct_count,
+        statistics/mod.rs:20-26; at 10^12 docs a mergeable sketch is the
+        only table-level answer). Encodes documents, merges the 64 KB
+        register files in stats(), and verifies each column's estimate
+        against exact countDistinct — the oracle pins the expected
+        within-2% verdicts, so a drifting estimator fails the gate."""
+        import tempfile as _tf
+
+        from parquet2_spark.operators import decode_job
+        from parquet2_spark.operators.encode_job import EncodeConfig, encode
+
+        cols = ["doc_id", "lang", "source"]
+        docs = _t(spark, sf_dir, "documents").select(*cols)
+        snap = _tf.mkdtemp(prefix="p2s_ndv_")
+        encode(
+            spark, docs, snap,
+            EncodeConfig(target_rows=512, page_rows=128, sort_by="doc_id",
+                         key="doc_id", host_from_key=False),
+        )
+        st = (
+            decode_job.stats(spark, snap)
+            .groupBy("column")
+            .agg(F.max("ndv_est").alias("ndv_est"))
+        )
+        ex = docs.select(
+            *[F.countDistinct(c).alias(c) for c in cols]
+        ).selectExpr(
+            "stack(3, 'doc_id', doc_id, 'lang', lang, 'source', source) "
+            "as (column, exact_ndv)"
+        )
+        return (
+            st.join(F.broadcast(ex), "column")
+            .select(
+                "column",
+                (F.abs(F.col("ndv_est") - F.col("exact_ndv"))
+                 <= 0.02 * F.col("exact_ndv")).cast("long").alias("within_2pct"),
+            )
+            .orderBy("column")
+        )
+
     def dedup_exact_docs(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
         return docs.groupBy(F.md5(F.col("text").cast("binary")).alias("digest")).agg(
@@ -754,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stats / pruning / bloom (SURVEY §2.D/§2.E parity)
         "chunk_stats_shipdate": chunk_stats_shipdate,
         "chunk_stats_price": chunk_stats_price,
+        "stats_ndv_hll": stats_ndv_hll,
         "bloom_probe_docs": bloom_probe_docs,
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "minhash_exact_dup_agreement": minhash_exact_dup_agreement,
@@ -891,6 +934,11 @@ GROUP BY lang
             "count(*) - count(l_extendedprice) AS null_count, "
             "min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v "
             "FROM lineitem GROUP BY l_orderkey % 8"
+        ),
+        "stats_ndv_hll": (
+            "SELECT * FROM (VALUES ('doc_id', CAST(1 AS BIGINT)), "
+            "('lang', CAST(1 AS BIGINT)), ('source', CAST(1 AS BIGINT))) "
+            't("column", within_2pct) ORDER BY "column"'
         ),
         "bloom_probe_docs": "SELECT doc_id, TRUE AS might_contain FROM documents",
         "rt_bool_flags": (

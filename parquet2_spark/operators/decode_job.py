@@ -199,23 +199,19 @@ def stats(spark: SparkSession, snapshot_dir: str) -> DataFrame:
 
         def premerge(pdfs):
             for pdf in pdfs:
-                g = (
-                    pdf.groupby(["column", "codecs"])["ndv_hll"]
-                    .apply(hll_mod.merge)
-                    .reset_index()
-                )
+                g = pdf.groupby("column")["ndv_hll"].apply(hll_mod.merge).reset_index()
                 yield g
 
-        partials = df.select("column", "codecs", "ndv_hll").mapInPandas(
-            premerge, "column string, codecs string, ndv_hll binary"
+        # keyed by column ONLY (not codecs): NDV is a table-level property
+        # of the column; chunks that picked different codecs still merge
+        partials = df.select("column", "ndv_hll").mapInPandas(
+            premerge, "column string, ndv_hll binary"
         )
-        sk = partials.groupBy("column", "codecs").agg(
+        sk = partials.groupBy("column").agg(
             hll_mod.merge_agg(F.col("ndv_hll")).alias("ndv_sketch")
         )
-        sk = sk.select(
-            "column", "codecs", hll_mod.estimate_col(F.col("ndv_sketch")).alias("ndv_est")
-        )
-        out = out.join(F.broadcast(sk), ["column", "codecs"], "left")
+        sk = sk.select("column", hll_mod.estimate_col(F.col("ndv_sketch")).alias("ndv_est"))
+        out = out.join(F.broadcast(sk), ["column"], "left")
     return out.orderBy("column", "codecs")
 
 
