@@ -211,6 +211,21 @@ def stats(spark: SparkSession, snapshot_dir: str) -> DataFrame:
             hll_mod.merge_agg(F.col("ndv_hll")).alias("ndv_sketch")
         )
         sk = sk.select("column", hll_mod.estimate_col(F.col("ndv_sketch")).alias("ndv_est"))
+        # coverage guard: a non-empty chunk without a sketch (pre-sketch
+        # snapshot in a mixed table, or sketches disabled for one append)
+        # means the merge does not see the whole column — report no
+        # estimate rather than a silent undercount
+        miss = df.groupBy("column").agg(
+            F.sum((F.col("ndv_hll").isNull() & (F.col("n_rows") > 0)).cast("int")).alias(
+                "_ndv_miss"
+            )
+        )
+        sk = sk.join(F.broadcast(miss), ["column"], "left").select(
+            "column",
+            F.when(F.col("_ndv_miss") > 0, F.lit(None)).otherwise(F.col("ndv_est")).alias(
+                "ndv_est"
+            ),
+        )
         out = out.join(F.broadcast(sk), ["column"], "left")
     return out.orderBy("column", "codecs")
 

@@ -99,3 +99,42 @@ class TestHLLThroughEngine:
                EncodeConfig(target_rows=1000, key="k", sort_by="k", host_from_key=False))
         rows = {r["column"]: r for r in decode_job.stats(spark, d).collect()}
         assert abs(rows["m"]["ndv_est"] - 100) <= 2
+
+
+class TestMixedCoverage:
+    def test_partial_sketch_coverage_reports_no_estimate(self, spark, tmp_path):
+        """A table mixing a pre-sketch (ndv_sketch=False) snapshot with a
+        sketched one must report NO estimate — a merge that silently
+        covers half the column is an undercount, not a hint."""
+        from parquet2_spark.operators import table
+
+        tdir = str(tmp_path / "t")
+        df1 = spark.range(500).select(
+            F.col("id").alias("k"), F.col("id").cast("string").alias("u"))
+        df2 = spark.range(500, 1000).select(
+            F.col("id").alias("k"), F.col("id").cast("string").alias("u"))
+        table.append(spark, df1, tdir,
+                     EncodeConfig(target_rows=300, key="k", sort_by="k",
+                                  host_from_key=False, ndv_sketch=False))
+        table.append(spark, df2, tdir,
+                     EncodeConfig(target_rows=300, key="k", sort_by="k",
+                                  host_from_key=False))
+        rows = decode_job.stats(spark, tdir).collect()
+        assert all(r["ndv_est"] is None for r in rows)
+
+    def test_full_coverage_across_appends_merges(self, spark, tmp_path):
+        """Sketches from separate appends merge to the union NDV."""
+        from parquet2_spark.operators import table
+
+        tdir = str(tmp_path / "t2")
+        cfg = lambda: EncodeConfig(target_rows=300, key="k", sort_by="k",
+                                   host_from_key=False)
+        # overlapping k ranges: union NDV = 750, sum of parts = 1000
+        df1 = spark.range(500).select(
+            F.col("id").alias("k"), F.col("id").cast("string").alias("u"))
+        df2 = spark.range(250, 750).select(
+            F.col("id").alias("k"), F.col("id").cast("string").alias("u"))
+        table.append(spark, df1, tdir, cfg())
+        table.append(spark, df2, tdir, cfg())
+        rows = {r["column"]: r for r in decode_job.stats(spark, tdir).collect()}
+        assert abs(rows["k"]["ndv_est"] - 750) / 750 < 0.02
