@@ -81,9 +81,13 @@ def speed_profile() -> SelectorConfig:
 
 
 def archival_profile() -> SelectorConfig:
-    """Cold storage: zstd-10 outer — ~4% smaller on the web corpus at
-    ~3-4× the encode cost; ratio 0.323 vs 0.336 default."""
-    return SelectorConfig(outer_level=10)
+    """Cold storage: zstd-19 outer — 10% smaller on the web corpus than
+    the default (ratio 0.301 vs 0.336 with ~47 MB chunks) at ~7× the
+    encode cost. Measured: level 10 was strictly dominated here (0.323 at
+    3-4× cost — level 6 even beat it at 0.322); 19 is where the size-cost
+    curve pays again. Pair with large chunks (tens of MB): per-chunk
+    symbol-table training and zstd context setup amortize."""
+    return SelectorConfig(outer_level=19)
 
 
 def shortlist(st: BatchStats, kind: str, is_float: bool, cfg: SelectorConfig = DEFAULT) -> list[int]:
