@@ -124,11 +124,12 @@ class EncodeConfig:
     # JVM-side with xxhash64 before the shuffle; probed by decode key_eq)
     bloom_columns: tuple = ()
     bloom_fpp: float = 0.01
-    # per-chunk HLL register files (64 KB, p=16) for mergeable table-level
-    # NDV (reference keeps exact per-chunk distinct_count only,
-    # statistics/mod.rs:20-26). Values hash JVM-side (xxhash64 in codegen,
-    # shared with the bloom hash column when both are on); the sketch adds
-    # 8 B/row/column to the shuffle and ~ms of register scatter per chunk.
+    # per-chunk HLL sketches (p=16; dense 64 KB or HLL++-sparse for
+    # low-cardinality chunks) for mergeable table-level NDV (reference
+    # keeps exact per-chunk distinct_count only, statistics/mod.rs:20-26).
+    # Values hash JVM-side (xxhash64 in codegen, shared with the bloom
+    # hash column when both are on); the sketch adds 8 B/row/column to
+    # the shuffle and ~ms of register scatter per chunk.
     ndv_sketch: bool = True
     # pyarrow.fs.FileSystem for the metadata plane (markers/sidecars/chunk
     # writes); None → resolved from the path (URI scheme or local).

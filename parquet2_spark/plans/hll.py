@@ -4,9 +4,11 @@ The reference carries an exact per-chunk ``distinct_count``
 (reference/src/statistics/mod.rs:20-26) but nothing mergeable across
 chunks; at 10^12 documents a *table-level* NDV (join planning, bloom
 sizing, dictionary-codec viability) needs a mergeable sketch. Each chunk
-stores a 64 KB HLL register file (p=16 → 65536 registers, ~0.4% standard
-error; worst observed ~1% in the raw-estimator bias region); ``stats()``
-max-merges them per column and reports the estimate.
+stores an HLL sketch at p=16 (65536 registers, ~0.4% standard error;
+worst observed ~1% in the raw-estimator bias region) — dense 64 KB when
+many registers are set, HLL++-style sparse words when few are (a
+7-value lang chunk costs 29 bytes, not 64 KB); ``stats()`` max-merges
+them per column and reports the estimate.
 
 Value hashing happens JVM-side (``F.xxhash64`` inside whole-stage
 codegen, exactly like the bloom hash columns) — the executor-side Python
@@ -32,8 +34,39 @@ def _mix64(z: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
+def _pack(regs: np.ndarray) -> bytes:
+    """Serialize registers: sparse (HLL++-style) when it is smaller.
+
+    A low-cardinality chunk (a lang column with 7 values, a short
+    partition) sets a handful of registers — the dense 64 KB file would
+    dwarf its own payload and, at ~10^6 chunks, add ~100 GB of pure
+    metadata to a table. Sparse entries are one uint32 word
+    ``(idx << 6) | rank`` (idx < 2^16, rank ≤ 49 < 2^6); format tag is
+    the first byte (0 = dense register file, 1 = sparse words)."""
+    nz = np.flatnonzero(regs)
+    if 4 * len(nz) < M:
+        words = (nz.astype(np.uint32) << np.uint32(6)) | regs[nz].astype(np.uint32)
+        return b"\x01" + words.tobytes()
+    return b"\x00" + regs.tobytes()
+
+
+def _unpack(b) -> np.ndarray:
+    """Registers from a serialized sketch (dense, sparse, or the
+    untagged legacy dense format, recognized by its exact length)."""
+    if len(b) == M:  # legacy untagged dense
+        return np.frombuffer(b, dtype=np.uint8)
+    if b[0] == 0:
+        return np.frombuffer(b, dtype=np.uint8, offset=1)
+    words = np.frombuffer(b, dtype=np.uint32, offset=1)
+    regs = np.zeros(M, dtype=np.uint8)
+    regs[(words >> np.uint32(6)).astype(np.int64)] = (words & np.uint32(63)).astype(
+        np.uint8
+    )
+    return regs
+
+
 def sketch_from_hashes(h: np.ndarray) -> bytes:
-    """HLL register file (M bytes) from 64-bit hashes (uint64)."""
+    """HLL sketch (tagged dense or sparse) from 64-bit hashes (uint64)."""
     regs = np.zeros(M, dtype=np.uint8)
     if len(h):
         idx = (h >> np.uint64(_Q)).astype(np.int64)
@@ -43,7 +76,7 @@ def sketch_from_hashes(h: np.ndarray) -> bytes:
         _, e = np.frexp(w.astype(np.float64))
         rank = np.where(w == 0, _Q + 1, _Q + 1 - e).astype(np.uint8)
         np.maximum.at(regs, idx, rank)
-    return regs.tobytes()
+    return _pack(regs)
 
 
 def merge(sketches) -> bytes | None:
@@ -51,15 +84,15 @@ def merge(sketches) -> bytes | None:
     for b in sketches:
         if b is None:
             continue
-        r = np.frombuffer(b, dtype=np.uint8)
+        r = _unpack(b)
         regs = r.copy() if regs is None else np.maximum(regs, r)
-    return None if regs is None else regs.tobytes()
+    return None if regs is None else _pack(regs)
 
 
 def estimate(sketch: bytes) -> int:
     """Standard HLL estimator with small-range (linear counting)
     correction; 64-bit hashes need no large-range correction."""
-    regs = np.frombuffer(sketch, dtype=np.uint8).astype(np.float64)
+    regs = _unpack(sketch).astype(np.float64)
     alpha = 0.7213 / (1 + 1.079 / M)
     est = alpha * M * M / np.sum(np.exp2(-regs))
     if est <= 2.5 * M:

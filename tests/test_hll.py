@@ -138,3 +138,34 @@ class TestMixedCoverage:
         table.append(spark, df2, tdir, cfg())
         rows = {r["column"]: r for r in decode_job.stats(spark, tdir).collect()}
         assert abs(rows["k"]["ndv_est"] - 750) / 750 < 0.02
+
+
+class TestSparseFormat:
+    def test_low_cardinality_sketch_is_tiny(self):
+        h = hll._mix64(np.arange(7, dtype=np.uint64))
+        b = hll.sketch_from_hashes(h)
+        assert len(b) == 1 + 4 * 7  # tag + one word per set register
+        assert hll.estimate(b) == 7
+
+    def test_high_cardinality_sketch_is_dense(self):
+        h = hll._mix64(np.arange(100_000, dtype=np.uint64))
+        b = hll.sketch_from_hashes(h)
+        assert b[0] == 0 and len(b) == 1 + hll.M
+
+    def test_merge_mixed_sparse_dense_legacy(self):
+        big = hll._mix64(np.arange(80_000, dtype=np.uint64))
+        small = hll._mix64(np.arange(80_000, 80_050, dtype=np.uint64))
+        dense = hll.sketch_from_hashes(big)
+        sparse = hll.sketch_from_hashes(small)
+        legacy = hll._unpack(sparse).tobytes()  # untagged 64 KB format
+        assert len(legacy) == hll.M
+        est = hll.estimate(hll.merge([dense, sparse, legacy]))
+        assert abs(est - 80_050) / 80_050 < 0.02
+
+    def test_pack_unpack_roundtrip_near_threshold(self):
+        rng = np.random.default_rng(3)
+        for nnz in (0, 1, hll.M // 4 - 1, hll.M // 4, hll.M // 4 + 1, hll.M // 2):
+            regs = np.zeros(hll.M, dtype=np.uint8)
+            idx = rng.choice(hll.M, size=nnz, replace=False)
+            regs[idx] = rng.integers(1, 50, size=nnz, endpoint=False, dtype=np.uint8)
+            np.testing.assert_array_equal(hll._unpack(hll._pack(regs)), regs)
