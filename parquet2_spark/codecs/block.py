@@ -57,4 +57,51 @@ def decompress(data: bytes, name: str | None, raw_size: int) -> bytes:
         if name == "gzip":
             return _gzip.decompress(bytes(data))
         raise ValueError(f"codec {name} unavailable")
+    if name == "lz4":
+        # interop: this engine writes lz4 FRAME, but hadoop-ecosystem
+        # writers emit their own framing ([be32 raw_len][be32 comp_len]
+        # [raw-lz4 block])* — auto-detect exactly like the reference
+        # (src/compression.rs:231-287 try_decompress_hadoop fallback)
+        try:
+            return pa.Codec(name).decompress(
+                bytes(data), decompressed_size=raw_size, asbytes=True
+            )
+        except Exception:
+            out = _decompress_lz4_hadoop(bytes(data), raw_size)
+            if out is None:
+                raise
+            return out
     return pa.Codec(name).decompress(bytes(data), decompressed_size=raw_size, asbytes=True)
+
+
+def _decompress_lz4_hadoop(data: bytes, raw_size: int) -> bytes | None:
+    """Hadoop LZ4 framing: repeated [be32 uncompressed_len][be32
+    compressed_len][lz4 raw block]. Returns None when the buffer does not
+    parse as that layout (caller re-raises the frame-format error)."""
+    import struct
+
+    try:
+        raw = pa.Codec("lz4_raw")
+    except Exception:
+        return None
+    out = []
+    pos, total = 0, 0
+    while pos < len(data):
+        if pos + 8 > len(data):
+            return None
+        u_len, c_len = struct.unpack_from(">II", data, pos)
+        pos += 8
+        if c_len > len(data) - pos or u_len > raw_size - total:
+            return None
+        try:
+            block = raw.decompress(
+                data[pos : pos + c_len], decompressed_size=u_len, asbytes=True
+            )
+        except Exception:
+            return None
+        out.append(block)
+        total += u_len
+        pos += c_len
+    if total != raw_size:
+        return None
+    return b"".join(out)

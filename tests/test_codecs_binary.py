@@ -200,3 +200,41 @@ def test_block_roundtrip(name):
     if name is not None:
         assert len(comp) < len(data)
     assert block.decompress(comp, name, len(data)) == data
+
+
+class TestHadoopLz4Interop:
+    """Foreign-blob interop: hadoop-ecosystem writers frame LZ4 as
+    ([be32 raw_len][be32 comp_len][lz4 raw block])*; decompress
+    auto-detects it, like the reference's try_decompress_hadoop
+    fallback (src/compression.rs:231-287)."""
+
+    def _hadoop_frame(self, chunks: list[bytes]) -> bytes:
+        import struct
+        import pyarrow as pa
+
+        raw = pa.Codec("lz4_raw")
+        out = b""
+        for c in chunks:
+            comp = raw.compress(c, asbytes=True)
+            out += struct.pack(">II", len(c), len(comp)) + comp
+        return out
+
+    def test_single_and_multi_block(self):
+        data = b"the quick brown fox jumps over the lazy dog " * 200
+        for chunks in ([data], [data[:3000], data[3000:]]):
+            framed = self._hadoop_frame(chunks)
+            assert block.decompress(framed, "lz4", len(data)) == data
+
+    def test_own_frame_format_still_roundtrips(self):
+        data = b"own-format payload " * 500
+        assert block.decompress(block.compress(data, "lz4"), "lz4", len(data)) == data
+
+    def test_garbage_still_raises(self):
+        with pytest.raises(Exception):
+            block.decompress(b"\x00\x01\x02\x03" * 10, "lz4", 64)
+
+    def test_wrong_raw_size_rejected(self):
+        data = b"x" * 1000
+        framed = self._hadoop_frame([data])
+        with pytest.raises(Exception):
+            block.decompress(framed, "lz4", 999)
