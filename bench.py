@@ -218,9 +218,16 @@ def main() -> None:
         "text_quality_docs",
         "ann_brute_topk",
     ):
-        t0 = time.time()
-        qs[name](spark, SF_DIR).count()
-        queries[name] = round(time.time() - t0, 3)
+        # best-of-2: the first execution pays worker/import/scan warmup
+        # and this VM's noise swings small timings 2-5× (rt_decimal has
+        # recorded 2.2 s and 12.4 s for identical work minutes apart)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, SF_DIR).count()
+            w = time.time() - t0
+            best = w if best is None else min(best, w)
+        queries[name] = round(best, 3)
 
     spark.stop()
 
