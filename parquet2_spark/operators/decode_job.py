@@ -94,6 +94,11 @@ def _page_keep_for_range(mins: list, maxs: list, lo, hi, order: str | None) -> s
         and n > 1
         and all(m is not None for m in mins)
         and all(m is not None for m in maxs)
+        # a string bound against NUMERIC stats would bisect a str()-
+        # converted list whose lexicographic order no longer matches the
+        # recorded numeric boundary order ([2,10,100] → ["10","100","2"])
+        # — only the linear per-page compare is safe there
+        and (not as_str or isinstance(mins[0], str))
     ):
         import bisect
 
@@ -280,6 +285,43 @@ def _typed_lit(v, ddl: str):
     if isinstance(v, _dt.date):
         return F.date_from_unix_date(F.lit(_zone_bound(v))).cast(ddl)
     return F.lit(v).cast(ddl)
+
+
+def _probe_frame(spark: SparkSession, vals: list, ddl: str) -> DataFrame:
+    """One-column DataFrame (``__p2s_probe``) of probe values typed as
+    ``ddl`` — the DataFrame-scale analog of ``_typed_lit`` for IN-lists
+    of arbitrary size (per-value literal columns would blow Catalyst's
+    codegen method limit at a few thousand probes). Datetime/date probes
+    travel as epoch ints (wall-clock strings for ``timestamp_ntz``) and
+    convert through session-timezone-independent functions; a date probe
+    against a timestamp column is promoted to midnight UTC python-side
+    (this engine defines naive instants as UTC)."""
+    import datetime as _dt
+
+    if not any(isinstance(v, (_dt.date, _dt.datetime)) for v in vals):
+        return spark.createDataFrame([(v,) for v in vals], f"`__p2s_probe` {ddl}")
+    if ddl.startswith("timestamp"):
+        vals = [
+            _dt.datetime(v.year, v.month, v.day)
+            if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
+            else v
+            for v in vals
+        ]
+    if ddl == "timestamp_ntz":
+        walls = [
+            (
+                _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(_zone_bound(v)))
+            ).strftime("%Y-%m-%d %H:%M:%S.%f")
+            for v in vals
+        ]
+        raw = spark.createDataFrame([(w,) for w in walls], "`m` string")
+        return raw.select(F.col("m").cast("timestamp_ntz").alias("__p2s_probe"))
+    raw = spark.createDataFrame([(int(_zone_bound(v)),) for v in vals], "`m` long")
+    if ddl == "date":
+        return raw.select(
+            F.date_from_unix_date(F.col("m").cast("int")).alias("__p2s_probe")
+        )
+    return raw.select(F.timestamp_micros(F.col("m")).cast(ddl).alias("__p2s_probe"))
 
 
 def prune_by_range(df: DataFrame, column: str, lo=None, hi=None) -> DataFrame:
@@ -509,29 +551,15 @@ def decode(
         # isin filter keeps the result exact. The batch-fetch path a
         # training pipeline uses to pull N documents by id.
         in_col, in_vals = key_in
-        import datetime as _dt
-
-        if any(isinstance(v, (_dt.date, _dt.datetime)) for v in in_vals):
-            # datetime/date probes: hash session-tz-independent typed
-            # literals (point lookups — IN-lists here are small)
-            row = (
-                spark.range(1)
-                .select(
-                    *[
-                        F.xxhash64(_typed_lit(v, schema_map[in_col])).alias(f"h{i}")
-                        for i, v in enumerate(in_vals)
-                    ]
-                )
-                .first()
-            )
-            hashes = list(row)
-        else:
-            hv_rows = (
-                spark.createDataFrame([(v,) for v in in_vals], f"`v` {schema_map[in_col]}")
-                .select(F.xxhash64(F.col("v")).alias("h"))
-                .collect()
-            )
-            hashes = [r["h"] for r in hv_rows]
+        # probe hashes via a typed probe FRAME (session-tz-independent for
+        # datetime/date values, and one bounded job for any list size —
+        # per-value literal columns would hit the codegen method limit)
+        hv_rows = (
+            _probe_frame(spark, list(in_vals), schema_map[in_col])
+            .select(F.xxhash64(F.col("__p2s_probe")).alias("h"))
+            .collect()
+        )
+        hashes = [r["h"] for r in hv_rows]
         probes = np.array(hashes, dtype=np.int64).view(np.uint64)
 
         from ..plans import bloom as bloom_mod
@@ -709,13 +737,16 @@ def decode(
         out = out.filter(F.col(key_eq[0]) == _typed_lit(key_eq[1], schema_map[key_eq[0]]))
     if key_in is not None:
         import datetime as _dt
-        from functools import reduce as _reduce
-        from operator import or_ as _or
 
         in_col, in_vals = key_in
         if any(isinstance(v, (_dt.date, _dt.datetime)) for v in in_vals):
-            out = out.filter(
-                _reduce(_or, [F.col(in_col) == _typed_lit(v, schema_map[in_col]) for v in in_vals])
+            # residual via broadcast semi-join on the typed probe frame —
+            # session-tz-safe like _typed_lit, but O(1) expression depth
+            # (an N-deep Or tree of typed literals fails codegen for
+            # large batch-fetch lists)
+            pf = _probe_frame(spark, list(in_vals), schema_map[in_col])
+            out = out.join(
+                F.broadcast(pf), out[in_col] == pf["__p2s_probe"], "left_semi"
             )
         else:
             out = out.filter(F.col(in_col).isin(list(in_vals)))

@@ -462,11 +462,18 @@ def encode(
 
     planned, n_parts = plan_partitions(df, cfg)
 
+    def _null_safe_hash(c: str, expr) -> "F.Column":
+        # F.xxhash64(NULL) returns the SEED (42), a non-null hash — left
+        # bare it would plant a phantom distinct value in the NDV sketch
+        # (and a useless entry in the bloom). NULL-in → NULL-out, so the
+        # Arrow-side drop_null() actually drops the null rows.
+        return F.when(F.col(c).isNotNull(), F.xxhash64(expr))
+
     for c in cfg.bloom_columns:
         if c not in columns:
             raise KeyError(f"bloom column {c} not in frame (have {columns})")
         # JVM-side, vectorized — probe-time uses the same F.xxhash64
-        planned = planned.withColumn(f"_bh_{c}", F.xxhash64(F.col(c)))
+        planned = planned.withColumn(f"_bh_{c}", _null_safe_hash(c, F.col(c)))
     if cfg.ndv_sketch:
         dtypes = dict(df.dtypes)
         for c in columns:
@@ -478,7 +485,7 @@ def encode(
             # deterministic map construction; a small over-count for
             # re-ordered equal maps is acceptable for a ~1% estimator)
             expr = F.to_json(F.col(c)) if "map<" in dtypes[c] else F.col(c)
-            planned = planned.withColumn(f"_nh_{c}", F.xxhash64(expr))
+            planned = planned.withColumn(f"_nh_{c}", _null_safe_hash(c, expr))
 
     already = committed_parts(snapshot_dir, cfg.filesystem) if resume else set()
     if already:

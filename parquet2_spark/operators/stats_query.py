@@ -50,22 +50,35 @@ def bucket_stats(df: DataFrame, bucket_expr, value_col: str, out_type: str) -> D
                 continue
             import pyarrow.compute as pc
 
+            # nulls sort to the end (pc.sort_indices default) and form
+            # their own bucket group — a float64 round-trip of a nullable
+            # int column would NaN-poison the run detection AND crash
+            # int() on the null rows
             order = pc.sort_indices(rb.column(0))
-            buckets = rb.column(0).take(order).to_numpy(zero_copy_only=False)
+            bcol = rb.column(0).take(order)
             vals = rb.column(1).take(order)
-            # bucket run boundaries inside the sorted batch
+            nn = len(bcol) - bcol.null_count
+            buckets = (
+                bcol.slice(0, nn).to_numpy(zero_copy_only=False).astype(np.int64)
+                if nn
+                else np.zeros(0, dtype=np.int64)
+            )
+            # bucket run boundaries inside the sorted non-null region
             cuts = np.flatnonzero(buckets[1:] != buckets[:-1]) + 1
-            starts = np.concatenate(([0], cuts))
-            stops = np.concatenate((cuts, [len(buckets)]))
+            starts = np.concatenate(([0], cuts)) if nn else np.zeros(0, dtype=np.int64)
+            stops = np.concatenate((cuts, [nn])) if nn else np.zeros(0, dtype=np.int64)
             out = {"bucket": [], "n_rows": [], "null_count": [], "min_v": [], "max_v": []}
-            for s, e in zip(starts, stops):
+            spans = list(zip(starts, stops))
+            if bcol.null_count:
+                spans.append((nn, len(bcol)))
+            for s, e in spans:
                 st = stats_mod.compute(vals.slice(s, e - s), full=False)
                 mn, mx = st.min, st.max
                 if isinstance(mn, bytes):
                     mn = mn.decode("utf-8", "replace")
                 if isinstance(mx, bytes):
                     mx = mx.decode("utf-8", "replace")
-                out["bucket"].append(int(buckets[s]))
+                out["bucket"].append(int(buckets[s]) if s < nn else None)
                 out["n_rows"].append(st.n)
                 out["null_count"].append(st.null_count)
                 out["min_v"].append(mn)

@@ -48,39 +48,103 @@ class CommitConflict(RuntimeError):
     """Another writer committed a conflicting change; retry the operation."""
 
 
-def _acquire_manifest_lock(fs, root: str, wait_s: float = LOCK_WAIT_S) -> str:
+def _steal_lock(fs, lock_path: str, expected: dict | None) -> None:
+    """Delete a lock judged stale — but only while its content still
+    matches what we judged (another waiter may have stolen it and
+    re-created a FRESH lock between our read and our delete). POSIX has
+    no conditional delete, so a residual microsecond window remains on
+    plain filesystems; the post-create read-back verify in the acquire
+    loop catches that interleaving, and object-store deployments close it
+    fully with the ``create_if_absent`` conditional-PUT hook."""
+    try:
+        current = fsio.read_json(fs, lock_path)
+    except FileNotFoundError:
+        return
+    except (ValueError, OSError):
+        current = None  # still unreadable — matches an unparseable claim
+    if expected is not None and current is not None:
+        if current.get("token") != expected.get("token"):
+            return  # re-created by someone else since we judged it stale
+    try:
+        fsio.delete_file(fs, lock_path)
+    except FileNotFoundError:
+        pass
+
+
+def _acquire_manifest_lock(fs, root: str, wait_s: float = LOCK_WAIT_S) -> dict:
     """Serialize manifest read-modify-write with an exclusive-create lock
     file (O_EXCL on local FS; conditional PUT via a ``create_if_absent``
     filesystem hook on object stores; exists+write elsewhere — see
     fsio.try_create_exclusive). A crashed writer's lock is stolen once its
-    timestamp is older than ``LOCK_STALE_S``."""
+    timestamp is older than ``LOCK_STALE_S``; a torn/unparseable lock is
+    stolen only after staying unreadable that long. Returns a handle
+    ``{"path", "token"}`` for the token-verified release."""
     import uuid as _uuid
 
     lock_path = fsio.join(root, LOCK_DIR, "manifest.lock")
     fsio.mkdirs(fs, fsio.join(root, LOCK_DIR))
     token = _uuid.uuid4().hex
     deadline = time.time() + wait_s
+    bad_since = None
+    held = None
     while True:
         payload = {"token": token, "created_unix": time.time()}
         if fsio.try_create_exclusive(fs, lock_path, json.dumps(payload).encode()):
-            return lock_path
-        try:
-            held = fsio.read_json(fs, lock_path)
-            if time.time() - held.get("created_unix", 0) > LOCK_STALE_S:
-                fsio.delete_file(fs, lock_path)  # stale: holder crashed
-                continue
-        except (FileNotFoundError, ValueError):
-            continue  # holder released (or tore) between attempts
+            # read-back verify: a waiter that mis-judged our fresh lock as
+            # stale may have deleted it and created its own — only the
+            # writer whose token survived owns the critical section
+            try:
+                if fsio.read_json(fs, lock_path).get("token") == token:
+                    return {"path": lock_path, "token": token}
+            except (FileNotFoundError, ValueError, OSError):
+                pass  # torn from under us — contend again
+        else:
+            try:
+                held = fsio.read_json(fs, lock_path)
+            except FileNotFoundError:
+                continue  # released between attempts — retry create now
+            except (ValueError, OSError):
+                # torn write: steal only after it stays unreadable for the
+                # full staleness window (never skip the deadline/sleep)
+                if bad_since is None:
+                    bad_since = time.time()
+                if time.time() - bad_since > LOCK_STALE_S:
+                    _steal_lock(fs, lock_path, None)
+                    bad_since = None
+                    continue
+                held = None
+            else:
+                bad_since = None
+                if held.get("token") == token:
+                    # our own create landed but its read-back verify tore —
+                    # the surviving content is ours, so we do own the lock
+                    return {"path": lock_path, "token": token}
+                if time.time() - held.get("created_unix", 0) > LOCK_STALE_S:
+                    _steal_lock(fs, lock_path, held)  # stale: holder crashed
+                    continue
         if time.time() > deadline:
             raise TimeoutError(
                 f"could not acquire manifest lock {lock_path} in {wait_s}s "
-                f"(held by {held.get('token', '?')})"
+                f"(held by {(held or {}).get('token', '?')})"
             )
         time.sleep(0.05)
 
 
-def _release_manifest_lock(fs, lock_path: str) -> None:
-    fsio.delete_file(fs, lock_path)
+def _release_manifest_lock(fs, lock) -> None:
+    """Token-verified release: a holder whose critical section outlived
+    LOCK_STALE_S must not delete the lock a stealer now owns."""
+    if isinstance(lock, str):  # legacy path-only handle
+        fsio.delete_file(fs, lock)
+        return
+    try:
+        if fsio.read_json(fs, lock["path"]).get("token") != lock["token"]:
+            return
+    except (FileNotFoundError, ValueError, OSError):
+        return
+    try:
+        fsio.delete_file(fs, lock["path"])
+    except FileNotFoundError:
+        pass
 
 
 def is_table(path: str, filesystem=None) -> bool:
@@ -120,30 +184,39 @@ CLAIM = "_claim.json"
 ADOPT_QUIET_S = 60.0  # a claimed staging dir with activity this recent is LIVE
 
 
-def _adoptable(fs, root: str, orphan: str) -> bool:
+def _adoptable(fs, root: str, orphan: str, batch_key: str | None = None) -> bool:
     """May a new append resume into this uncommitted staging dir?
 
-    Yes when it is plainly abandoned: either it carries no claim file
-    (a manually-encoded snapshot, or a pre-claim layout), or its claim
-    AND newest commit-marker activity are both quiet for ADOPT_QUIET_S —
-    a live writer claims its dir on creation and then streams commit
-    markers, so adopting an ACTIVE writer's dir (two appends interleaving
-    two different batches into one snapshot) is ruled out."""
+    Unclaimed dirs (a manually-encoded snapshot, or a pre-claim layout)
+    are adoptable. A CLAIMED dir is adoptable only when the caller's
+    ``batch_key`` matches the one stamped in the claim — i.e. this is a
+    retry of the SAME logical batch — and the dir has also been quiet for
+    ADOPT_QUIET_S. Quietness alone is NOT sufficient: a live writer's
+    first commit marker can lag its claim by longer than any fixed window
+    (one big partition, a queued cluster), and adopting a live writer's
+    dir interleaves two batches into one snapshot. Without a batch key a
+    crashed claimed dir is simply left behind (the retry encodes into a
+    fresh dir; compaction/cleanup collects the orphan)."""
     claim_p = fsio.join(root, orphan, CLAIM)
     if not fsio.exists(fs, claim_p):
         return True
-    last = 0.0
+    claim = {}
     try:
-        last = float(fsio.read_json(fs, claim_p).get("created_unix", 0.0))
+        claim = fsio.read_json(fs, claim_p)
     except (ValueError, OSError):
         pass
+    if not batch_key or claim.get("batch_key") != batch_key:
+        return False
+    last = float(claim.get("created_unix", 0.0) or 0.0)
     mt = fsio.newest_mtime(fs, fsio.join(root, orphan, "_commits"))
     if mt is not None:
         last = max(last, mt)
     return time.time() - last > ADOPT_QUIET_S
 
 
-def _staging_dir_for(fs, root: str, man: dict, next_id: int) -> str:
+def _staging_dir_for(
+    fs, root: str, man: dict, next_id: int, batch_key: str | None = None
+) -> str:
     """Snapshot staging-dir name for ``next_id`` — called under the
     manifest lock, so two writers can never choose (or adopt) the same
     dir.
@@ -151,8 +224,10 @@ def _staging_dir_for(fs, root: str, man: dict, next_id: int) -> str:
     A crashed append left an abandoned orphan (encoded but never
     committed) dir for this id — adopt it so the retry resumes instead of
     re-encoding (committed partitions are skipped by the encode job's
-    markers). No adoptable orphan → a fresh uuid-suffixed name, so LIVE
-    writers never write into each other's files.
+    markers). Claimed orphans only ever match a retry carrying the same
+    ``batch_key`` (see _adoptable). No adoptable orphan → a fresh
+    uuid-suffixed name, so LIVE writers never write into each other's
+    files.
     """
     import uuid as _uuid
 
@@ -164,25 +239,26 @@ def _staging_dir_for(fs, root: str, man: dict, next_id: int) -> str:
         if d.startswith(prefix)
         and d not in committed
         and fsio.is_dir(fs, fsio.join(root, d))
-        and _adoptable(fs, root, d)
+        and _adoptable(fs, root, d, batch_key)
     )
     if orphans:
         return orphans[0]
     return f"{prefix}-{_uuid.uuid4().hex[:8]}"
 
 
-def _claim_staging_dir(fs, root: str, man: dict, next_id: int) -> str:
+def _claim_staging_dir(
+    fs, root: str, man: dict, next_id: int, batch_key: str | None = None
+) -> str:
     """Choose (or adopt) a staging dir for ``next_id`` and stamp our claim
     into it. Must run under the manifest lock."""
     import uuid as _uuid
 
-    snap_name = _staging_dir_for(fs, root, man, next_id)
+    snap_name = _staging_dir_for(fs, root, man, next_id, batch_key)
     fsio.mkdirs(fs, fsio.join(root, snap_name))
-    fsio.write_json_atomic(
-        fs,
-        fsio.join(root, snap_name, CLAIM),
-        {"token": _uuid.uuid4().hex, "created_unix": time.time()},
-    )
+    claim = {"token": _uuid.uuid4().hex, "created_unix": time.time()}
+    if batch_key:
+        claim["batch_key"] = batch_key
+    fsio.write_json_atomic(fs, fsio.join(root, snap_name, CLAIM), claim)
     return snap_name
 
 
@@ -192,13 +268,19 @@ def append(
     table_dir: str,
     cfg: EncodeConfig | None = None,
     resume: bool = True,
+    batch_key: str | None = None,
 ) -> dict:
     """Encode ``df`` as the table's next snapshot and commit it.
 
     Crash-safe at every point: the snapshot encodes with per-partition
     atomic commits (resumable), and becomes visible only via the final
-    atomic manifest replace. Retrying a crashed append with the same
-    batch resumes the interrupted snapshot instead of duplicating it.
+    atomic manifest replace. ``batch_key`` is an idempotency key naming
+    the logical batch: a retry carrying the same key RESUMES the crashed
+    attempt's staging dir (committed partitions are skipped); without a
+    key a retry encodes fresh (a claimed crashed dir is never adopted —
+    quietness alone cannot distinguish it from a live writer whose first
+    commit marker is still in flight). Unclaimed orphan dirs (manual
+    encodes) adopt as before.
     """
     cfg = cfg or EncodeConfig()
     fs, root = fsio.resolve(table_dir, cfg.filesystem)
@@ -226,7 +308,7 @@ def append(
     try:
         man = read_manifest(table_dir, cfg.filesystem) or man
         next_id = (max((s["id"] for s in man["snapshots"]), default=0)) + 1
-        snap_name = _claim_staging_dir(fs, root, man, next_id)
+        snap_name = _claim_staging_dir(fs, root, man, next_id, batch_key)
     finally:
         _release_manifest_lock(fs, lock)
     snap_dir = os.path.join(table_dir, snap_name)

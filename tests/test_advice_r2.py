@@ -225,11 +225,103 @@ class TestLSHCacheRelease:
             "doc_id long, text string",
         )
         jsc = spark.sparkContext._jsc.sc()
+        # other tests sharing the session may hold their own caches —
+        # measure LSH's delta, not the absolute count
+        n_base = jsc.getPersistentRDDs().size()
         dedup.minhash_lsh_pairs(df, num_hashes=16, bands=4).collect()
         n_after_first = jsc.getPersistentRDDs().size()
-        assert n_after_first >= 1  # the signature cache is live
+        assert n_after_first >= n_base + 1  # the signature cache is live
         dedup.simhash_near_dup(df).collect()
         # the second call released the first call's cache
         assert jsc.getPersistentRDDs().size() <= n_after_first
         dedup.release_caches()
-        assert jsc.getPersistentRDDs().size() == 0
+        assert jsc.getPersistentRDDs().size() <= n_base
+
+
+class TestReviewR3Fixes:
+    """Round-3 self-review findings (code-review e1b0457..HEAD)."""
+
+    def test_bucket_stats_null_buckets(self, spark):
+        """Null bucket values form their own group instead of NaN-crashing
+        the arrow partials (int(NaN) ValueError)."""
+        from parquet2_spark.operators.stats_query import bucket_stats
+
+        df = spark.range(100).select(
+            F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") % 3).alias("b"),
+            F.col("id").cast("double").alias("v"),
+        )
+        rows = {r["bucket"]: r for r in bucket_stats(df, F.col("b"), "v", "double").collect()}
+        assert None in rows and rows[None]["n_rows"] == 10
+        assert sum(r["n_rows"] for r in rows.values()) == 100
+        exact = {r["b"]: (r["mn"], r["mx"]) for r in df.groupBy("b").agg(
+            F.min("v").alias("mn"), F.max("v").alias("mx")).collect()}
+        for b, r in rows.items():
+            assert (r["min_v"], r["max_v"]) == exact[b]
+
+    def test_ndv_ignores_nulls(self, spark, tmp_path):
+        """xxhash64(NULL) = seed(42) must not plant a phantom distinct
+        value: a 7-value nullable column estimates exactly 7."""
+        from parquet2_spark.operators import decode_job
+        from parquet2_spark.operators.encode_job import EncodeConfig, encode
+
+        df = spark.range(2000).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 5 == 0, None)
+            .otherwise((F.col("id") % 7).cast("string")).alias("lang"),
+        )
+        d = str(tmp_path / "ndvnull")
+        encode(spark, df, d, EncodeConfig(target_rows=500, key="k", sort_by="k",
+                                          host_from_key=False))
+        rows = {r["column"]: r for r in decode_job.stats(spark, d).collect()}
+        assert rows["lang"]["ndv_est"] == 7
+
+    def test_ndv_ignores_nulls_on_bloom_column(self, spark, tmp_path):
+        """The shared bloom/ndv hash column is null-preserving too — and
+        the bloom still probes correctly with null rows present."""
+        from parquet2_spark.operators import decode_job
+        from parquet2_spark.operators.encode_job import EncodeConfig, encode
+
+        df = spark.range(1000).select(
+            F.col("id").alias("rowid"),
+            F.when(F.col("id") % 4 == 0, None)
+            .otherwise((F.col("id") % 9).cast("string")).alias("k"),
+        )
+        d = str(tmp_path / "ndvbloom")
+        encode(spark, df, d, EncodeConfig(target_rows=250, key="rowid", sort_by="rowid",
+                                          host_from_key=False, bloom_columns=("k",)))
+        rows = {r["column"]: r for r in decode_job.stats(spark, d).collect()}
+        assert rows["k"]["ndv_est"] == 9
+        got = decode_job.decode(spark, d, key_eq=("k", "3")).collect()
+        assert len(got) > 0 and all(r["k"] == "3" for r in got)
+
+    def test_page_keep_string_bound_numeric_stats_falls_to_linear(self):
+        """A string bound against numeric page stats must not bisect the
+        str()-converted (lexicographically unsorted) list."""
+        from parquet2_spark.operators import decode_job
+
+        mins, maxs = [2, 10, 100], [5, 40, 200]
+        fast = decode_job._page_keep_for_range(mins, maxs, "5", None, "asc")
+        slow = decode_job._page_keep_for_range(mins, maxs, "5", None, None)
+        assert fast == slow
+
+    def test_key_in_large_timestamp_list(self, spark, tmp_path):
+        """600 timestamp probes: the typed probe FRAME path (hash + semi-
+        join residual) — per-value literal columns would blow codegen."""
+        import datetime as dt
+
+        from parquet2_spark.operators import decode_job
+        from parquet2_spark.operators.encode_job import EncodeConfig, encode
+
+        base = dt.datetime(2024, 3, 1)
+        df = spark.range(2000).select(
+            F.col("id").alias("k"),
+            F.timestamp_micros(
+                F.lit(int(base.timestamp() * 1e6)) + F.col("id") * 60_000_000
+            ).alias("ts"),
+        )
+        d = str(tmp_path / "bigin")
+        encode(spark, df, d, EncodeConfig(target_rows=500, key="ts", sort_by="ts",
+                                          host_from_key=False, bloom_columns=("ts",)))
+        probes = [base + dt.timedelta(minutes=m) for m in range(0, 1200, 2)]
+        got = decode_job.decode(spark, d, key_in=("ts", probes))
+        assert got.count() == 600

@@ -113,8 +113,39 @@ class TestManifestLock:
         stale = {"token": "dead", "created_unix": time.time() - table.LOCK_STALE_S - 1}
         fsio.write_json_atomic(fs, lock_path, stale)
         got = table._acquire_manifest_lock(fs, root, wait_s=5)
-        assert json.loads(fsio.read_bytes(fs, got))["token"] != "dead"
+        assert json.loads(fsio.read_bytes(fs, got["path"]))["token"] != "dead"
         table._release_manifest_lock(fs, got)
+        assert not fsio.exists(fs, lock_path)
+
+    def test_torn_lock_times_out_not_spins(self, tmp_path):
+        """An unparseable (torn) lock must hit the deadline, not busy-spin
+        forever skipping deadline and sleep."""
+        import pathlib
+
+        fs = pafs.LocalFileSystem()
+        root = str(tmp_path)
+        fsio.mkdirs(fs, fsio.join(root, table.LOCK_DIR))
+        lock_path = fsio.join(root, table.LOCK_DIR, "manifest.lock")
+        pathlib.Path(lock_path).write_bytes(b"")  # torn write
+        t0 = time.time()
+        with pytest.raises(TimeoutError):
+            table._acquire_manifest_lock(fs, root, wait_s=0.3)
+        assert time.time() - t0 < 5  # bounded, and it did wait (no hot spin)
+
+    def test_release_refuses_foreign_lock(self, tmp_path):
+        """A holder whose critical section outlived the staleness window
+        must not delete the lock a stealer now owns."""
+        fs = pafs.LocalFileSystem()
+        root = str(tmp_path)
+        got = table._acquire_manifest_lock(fs, root, wait_s=5)
+        # a stealer replaced the lock while we were inside the CS
+        fsio.delete_file(fs, got["path"])
+        fsio.write_json_atomic(
+            fs, got["path"], {"token": "thief", "created_unix": time.time()}
+        )
+        table._release_manifest_lock(fs, got)
+        assert json.loads(fsio.read_bytes(fs, got["path"]))["token"] == "thief"
+        fsio.delete_file(fs, got["path"])
 
     def test_live_lock_times_out(self, tmp_path):
         fs = pafs.LocalFileSystem()
@@ -224,3 +255,66 @@ class TestAppendCommit:
         # an UNCLAIMED orphan (manual encode / legacy) is still adoptable
         fsio.mkdirs(fs, fsio.join(root, "snap-000002"))
         assert table._adoptable(fs, root, "snap-000002")
+
+
+class TestBatchKeyAdoption:
+    def test_claimed_dir_never_adopted_without_key(self, tmp_path):
+        """Quietness alone is NOT sufficient: a live writer's first commit
+        marker can lag its claim by more than any fixed window, so a
+        claimed dir without a matching batch key is never adopted."""
+        fs = pafs.LocalFileSystem()
+        root = str(tmp_path)
+        man = {"format": 1, "current": 0, "snapshots": []}
+        a_dir = table._claim_staging_dir(fs, root, man, 2, batch_key="batch-A")
+        # silence the claim far past the quiet window
+        claim_p = fsio.join(root, a_dir, table.CLAIM)
+        c = json.loads(fsio.read_bytes(fs, claim_p))
+        c["created_unix"] = time.time() - table.ADOPT_QUIET_S * 10
+        fsio.write_json_atomic(fs, claim_p, c)
+        assert not table._adoptable(fs, root, a_dir)               # no key
+        assert not table._adoptable(fs, root, a_dir, "batch-B")    # wrong key
+        assert table._adoptable(fs, root, a_dir, "batch-A")        # retry of A
+        # a FRESH claim is not adoptable even with the right key
+        b_dir = table._claim_staging_dir(fs, root, man, 3, batch_key="batch-C")
+        assert not table._adoptable(fs, root, b_dir, "batch-C")
+
+    def test_keyed_retry_resumes_crashed_append(self, spark, tmp_path, monkeypatch):
+        """append(batch_key=K) crashed mid-encode; the retry with the same
+        key adopts the staging dir and skips committed partitions."""
+        tdir = str(tmp_path / "tblk")
+        append(spark, _batch(spark, 1), tdir, _cfg())
+        # crash: claim + encode happen, manifest commit never does
+        fs, root = fsio.resolve(tdir, None)
+        man = read_manifest(tdir)
+        snap = table._claim_staging_dir(fs, root, man, 2, batch_key="K1")
+        b2 = _batch(spark, 2).cache(); b2.count()
+        table.encode(spark, b2, fsio.join(root, snap), _cfg())
+        # age the claim past the quiet window (a real retry comes later)
+        claim_p = fsio.join(root, snap, table.CLAIM)
+        c = json.loads(fsio.read_bytes(fs, claim_p))
+        c["created_unix"] = time.time() - table.ADOPT_QUIET_S - 5
+        fsio.write_json_atomic(fs, claim_p, c)
+        monkeypatch.setattr(table, "ADOPT_QUIET_S", 1.0)
+        time.sleep(1.2)
+        lin = append(spark, b2, tdir, _cfg(), batch_key="K1")
+        assert lin["resumed_partitions_skipped"] > 0
+        man = read_manifest(tdir)
+        assert [s["dir"] for s in man["snapshots"]][-1] == snap
+
+    def test_unkeyed_retry_encodes_fresh(self, spark, tmp_path):
+        """Without a batch key the crashed claimed dir stays orphaned and
+        the retry gets a fresh dir (correct, if slower)."""
+        tdir = str(tmp_path / "tblu")
+        append(spark, _batch(spark, 1), tdir, _cfg())
+        fs, root = fsio.resolve(tdir, None)
+        man = read_manifest(tdir)
+        snap = table._claim_staging_dir(fs, root, man, 2)
+        b2 = _batch(spark, 2).cache(); b2.count()
+        table.encode(spark, b2, fsio.join(root, snap), _cfg())
+        lin = append(spark, b2, tdir, _cfg())
+        assert lin["resumed_partitions_skipped"] == 0
+        man = read_manifest(tdir)
+        assert [s["dir"] for s in man["snapshots"]][-1] != snap
+        # both snapshots' data decode correctly (the orphan is invisible)
+        from parquet2_spark.operators import decode_job
+        assert decode_job.decode(spark, tdir).count() == 100  # 2 batches x 50
