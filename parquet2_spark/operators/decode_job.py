@@ -195,11 +195,9 @@ def stats(spark: SparkSession, snapshot_dir: str) -> DataFrame:
         # table-level NDV from the per-chunk HLL register files. Spark
         # disallows mixing a grouped-agg pandas UDF with built-in aggs, so
         # the sketches merge in their own two-stage pass: a per-batch
-        # partial merge (one 64 KB row per group per Arrow batch — a
+        # partial merge (one sketch row per group per Arrow batch — a
         # million-chunk column never ships a million sketches to one
         # task), then the final grouped merge + estimate.
-        import pandas as pd
-
         from ..plans import hll as hll_mod
 
         def premerge(pdfs):

@@ -205,3 +205,25 @@ def test_delta_roundtrip(vals):
 def test_delta_hypothesis(xs):
     vals = np.array(xs, dtype=np.int64)
     np.testing.assert_array_equal(delta.decode(delta.encode(vals)), vals)
+
+
+@given(
+    num_bits=st.integers(min_value=1, max_value=64),
+    n=st.integers(min_value=1, max_value=700),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=120, deadline=None)
+def test_bitpack_roundtrip_hypothesis(num_bits, n, seed):
+    """Arbitrary (width, count) pairs through whichever kernel is active
+    (C when a compiler exists, numpy otherwise) — exercises the unaligned
+    buffer-tail paths the parametrized matrix can miss."""
+    rng = np.random.default_rng(seed)
+    if num_bits == 64:
+        vals = rng.integers(0, 1 << 63, n, dtype=np.uint64) * 2 + rng.integers(
+            0, 2, n, dtype=np.uint64
+        )
+    else:
+        vals = rng.integers(0, (1 << num_bits) - 1, n, endpoint=True, dtype=np.uint64)
+    buf = bitpack.pack(vals, num_bits)
+    assert len(buf) == (n * num_bits + 7) // 8
+    np.testing.assert_array_equal(bitpack.unpack(buf, num_bits, n), vals)
