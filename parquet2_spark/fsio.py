@@ -151,6 +151,15 @@ def _local_os_path(fs: pafs.FileSystem, path: str) -> str | None:
     return None
 
 
+def file_mtime(fs: pafs.FileSystem, path: str) -> float | None:
+    """Unix mtime of one file (None if missing or the store reports
+    none) — the persistent staleness clock for unreadable lock files."""
+    info = fs.get_file_info([path])[0]
+    if info.type == pafs.FileType.NotFound or info.mtime is None:
+        return None
+    return info.mtime.timestamp()
+
+
 def newest_mtime(fs: pafs.FileSystem, path: str) -> float | None:
     """Unix mtime of the newest entry under ``path`` (None if empty or
     missing) — the liveness signal for staging-dir adoption."""

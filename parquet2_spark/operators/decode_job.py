@@ -253,15 +253,21 @@ def _zone_bound(v):
     return v
 
 
+def _wall_str(micros: int) -> str:
+    """Wall-clock string for epoch micros (shared by the scalar ntz
+    literal and the ntz probe frame — one copy of the formatting)."""
+    import datetime as _dt
+
+    wall = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(micros))
+    return wall.strftime("%Y-%m-%d %H:%M:%S.%f")
+
+
 def _ntz_lit(micros: int):
     """timestamp_ntz literal from wall-clock micros — a string→ntz cast
     never consults the session timezone (``timestamp_micros`` would yield
     a tz-typed literal whose comparison against an ntz column silently
     coerces through the session tz)."""
-    import datetime as _dt
-
-    wall = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(micros))
-    return F.lit(wall.strftime("%Y-%m-%d %H:%M:%S.%f")).cast("timestamp_ntz")
+    return F.lit(_wall_str(micros)).cast("timestamp_ntz")
 
 
 def _typed_lit(v, ddl: str):
@@ -296,29 +302,49 @@ def _probe_frame(spark: SparkSession, vals: list, ddl: str) -> DataFrame:
     (this engine defines naive instants as UTC)."""
     import datetime as _dt
 
-    if not any(isinstance(v, (_dt.date, _dt.datetime)) for v in vals):
+    n_temporal = sum(isinstance(v, (_dt.date, _dt.datetime)) for v in vals)
+    if n_temporal == 0:
         return spark.createDataFrame([(v,) for v in vals], f"`__p2s_probe` {ddl}")
-    if ddl.startswith("timestamp"):
-        vals = [
-            _dt.datetime(v.year, v.month, v.day)
-            if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
-            else v
-            for v in vals
-        ]
-    if ddl == "timestamp_ntz":
-        walls = [
-            (
-                _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(_zone_bound(v)))
-            ).strftime("%Y-%m-%d %H:%M:%S.%f")
-            for v in vals
-        ]
-        raw = spark.createDataFrame([(w,) for w in walls], "`m` string")
-        return raw.select(F.col("m").cast("timestamp_ntz").alias("__p2s_probe"))
-    raw = spark.createDataFrame([(int(_zone_bound(v)),) for v in vals], "`m` long")
+    if n_temporal != len(vals):
+        raise TypeError(
+            "key_in mixes datetime/date probes with other value types — "
+            "pass a homogeneous list"
+        )
     if ddl == "date":
+        # demote datetime probes to their UTC calendar date python-side
+        # (naive instants are UTC in this engine); their epoch MICROS
+        # must never reach date_from_unix_date, which reads DAYS
+        days = [
+            int(
+                _zone_bound(
+                    (
+                        v.astimezone(_dt.timezone.utc).date()
+                        if v.tzinfo is not None
+                        else v.date()
+                    )
+                    if isinstance(v, _dt.datetime)
+                    else v
+                )
+            )
+            for v in vals
+        ]
+        raw = spark.createDataFrame([(d,) for d in days], "`m` long")
         return raw.select(
             F.date_from_unix_date(F.col("m").cast("int")).alias("__p2s_probe")
         )
+    # every other target type: promote plain dates to midnight-UTC
+    # datetimes FIRST (a date's _zone_bound is days, not micros)
+    vals = [
+        _dt.datetime(v.year, v.month, v.day)
+        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
+        else v
+        for v in vals
+    ]
+    if ddl == "timestamp_ntz":
+        walls = [_wall_str(_zone_bound(v)) for v in vals]
+        raw = spark.createDataFrame([(w,) for w in walls], "`m` string")
+        return raw.select(F.col("m").cast("timestamp_ntz").alias("__p2s_probe"))
+    raw = spark.createDataFrame([(int(_zone_bound(v)),) for v in vals], "`m` long")
     return raw.select(F.timestamp_micros(F.col("m")).cast(ddl).alias("__p2s_probe"))
 
 
@@ -551,12 +577,12 @@ def decode(
         in_col, in_vals = key_in
         # probe hashes via a typed probe FRAME (session-tz-independent for
         # datetime/date values, and one bounded job for any list size —
-        # per-value literal columns would hit the codegen method limit)
-        hv_rows = (
-            _probe_frame(spark, list(in_vals), schema_map[in_col])
-            .select(F.xxhash64(F.col("__p2s_probe")).alias("h"))
-            .collect()
-        )
+        # per-value literal columns would hit the codegen method limit);
+        # the frame is reused by the residual semi-join below
+        in_probe_frame = _probe_frame(spark, list(in_vals), schema_map[in_col])
+        hv_rows = in_probe_frame.select(
+            F.xxhash64(F.col("__p2s_probe")).alias("h")
+        ).collect()
         hashes = [r["h"] for r in hv_rows]
         probes = np.array(hashes, dtype=np.int64).view(np.uint64)
 
@@ -738,11 +764,11 @@ def decode(
 
         in_col, in_vals = key_in
         if any(isinstance(v, (_dt.date, _dt.datetime)) for v in in_vals):
-            # residual via broadcast semi-join on the typed probe frame —
-            # session-tz-safe like _typed_lit, but O(1) expression depth
-            # (an N-deep Or tree of typed literals fails codegen for
-            # large batch-fetch lists)
-            pf = _probe_frame(spark, list(in_vals), schema_map[in_col])
+            # residual via broadcast semi-join on the SAME typed probe
+            # frame the bloom pass hashed — session-tz-safe like
+            # _typed_lit, but O(1) expression depth (an N-deep Or tree of
+            # typed literals fails codegen for large batch-fetch lists)
+            pf = in_probe_frame
             out = out.join(
                 F.broadcast(pf), out[in_col] == pf["__p2s_probe"], "left_semi"
             )

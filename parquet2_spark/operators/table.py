@@ -48,27 +48,21 @@ class CommitConflict(RuntimeError):
     """Another writer committed a conflicting change; retry the operation."""
 
 
-def _steal_lock(fs, lock_path: str, expected: dict | None) -> None:
-    """Delete a lock judged stale — but only while its content still
-    matches what we judged (another waiter may have stolen it and
-    re-created a FRESH lock between our read and our delete). POSIX has
-    no conditional delete, so a residual microsecond window remains on
-    plain filesystems; the post-create read-back verify in the acquire
-    loop catches that interleaving, and object-store deployments close it
-    fully with the ``create_if_absent`` conditional-PUT hook."""
+def _steal_lock(fs, lock_path: str, expected_raw: bytes) -> None:
+    """Delete a lock judged stale — but only while its RAW content is
+    still byte-identical to what we judged (another waiter may have
+    stolen it and re-created a FRESH lock between our read and our
+    delete; a fresh lock never byte-matches a stale or torn one). POSIX
+    has no conditional delete, so a residual microsecond window remains
+    on plain filesystems; the post-create read-back verify in the
+    acquire loop catches that interleaving, and object-store deployments
+    close it fully with the ``create_if_absent`` conditional-PUT hook."""
     try:
-        current = fsio.read_json(fs, lock_path)
-    except FileNotFoundError:
+        if fsio.read_bytes(fs, lock_path) != expected_raw:
+            return  # re-created since we judged it stale
+    except (FileNotFoundError, OSError):
         return
-    except (ValueError, OSError):
-        current = None  # still unreadable — matches an unparseable claim
-    if expected is not None and current is not None:
-        if current.get("token") != expected.get("token"):
-            return  # re-created by someone else since we judged it stale
-    try:
-        fsio.delete_file(fs, lock_path)
-    except FileNotFoundError:
-        pass
+    fsio.delete_file(fs, lock_path)
 
 
 def _acquire_manifest_lock(fs, root: str, wait_s: float = LOCK_WAIT_S) -> dict:
@@ -76,16 +70,17 @@ def _acquire_manifest_lock(fs, root: str, wait_s: float = LOCK_WAIT_S) -> dict:
     file (O_EXCL on local FS; conditional PUT via a ``create_if_absent``
     filesystem hook on object stores; exists+write elsewhere — see
     fsio.try_create_exclusive). A crashed writer's lock is stolen once its
-    timestamp is older than ``LOCK_STALE_S``; a torn/unparseable lock is
-    stolen only after staying unreadable that long. Returns a handle
-    ``{"path", "token"}`` for the token-verified release."""
+    recorded timestamp is older than ``LOCK_STALE_S``; a torn/unparseable
+    lock ages by its FILE mtime (persistent across calls and processes —
+    a per-call timer could never reach the staleness window before the
+    acquire deadline). Returns a ``{"path", "token"}`` handle for the
+    token-verified release."""
     import uuid as _uuid
 
     lock_path = fsio.join(root, LOCK_DIR, "manifest.lock")
     fsio.mkdirs(fs, fsio.join(root, LOCK_DIR))
     token = _uuid.uuid4().hex
     deadline = time.time() + wait_s
-    bad_since = None
     held = None
     while True:
         payload = {"token": token, "created_unix": time.time()}
@@ -100,32 +95,35 @@ def _acquire_manifest_lock(fs, root: str, wait_s: float = LOCK_WAIT_S) -> dict:
                 pass  # torn from under us — contend again
         else:
             try:
-                held = fsio.read_json(fs, lock_path)
+                raw = fsio.read_bytes(fs, lock_path)
             except FileNotFoundError:
                 continue  # released between attempts — retry create now
-            except (ValueError, OSError):
-                # torn write: steal only after it stays unreadable for the
-                # full staleness window (never skip the deadline/sleep)
-                if bad_since is None:
-                    bad_since = time.time()
-                if time.time() - bad_since > LOCK_STALE_S:
-                    _steal_lock(fs, lock_path, None)
-                    bad_since = None
-                    continue
-                held = None
+            except OSError:
+                raw = None
+            held = None
+            if raw is not None:
+                try:
+                    held = json.loads(raw)
+                except ValueError:
+                    held = None
+            if isinstance(held, dict) and held.get("token") == token:
+                # our own create landed but its read-back verify tore —
+                # the surviving content is ours, so we do own the lock
+                return {"path": lock_path, "token": token}
+            if isinstance(held, dict):
+                stale = time.time() - held.get("created_unix", 0) > LOCK_STALE_S
             else:
-                bad_since = None
-                if held.get("token") == token:
-                    # our own create landed but its read-back verify tore —
-                    # the surviving content is ours, so we do own the lock
-                    return {"path": lock_path, "token": token}
-                if time.time() - held.get("created_unix", 0) > LOCK_STALE_S:
-                    _steal_lock(fs, lock_path, held)  # stale: holder crashed
-                    continue
+                # torn write: age by file mtime (stores without mtimes
+                # never steal a torn lock — documented manual recovery)
+                mt = fsio.file_mtime(fs, lock_path)
+                stale = mt is not None and time.time() - mt > LOCK_STALE_S
+            if stale and raw is not None:
+                _steal_lock(fs, lock_path, raw)  # compare-then-delete
+                continue
         if time.time() > deadline:
             raise TimeoutError(
                 f"could not acquire manifest lock {lock_path} in {wait_s}s "
-                f"(held by {(held or {}).get('token', '?')})"
+                f"(held by {(held if isinstance(held, dict) else {}).get('token', '?')})"
             )
         time.sleep(0.05)
 
@@ -141,10 +139,7 @@ def _release_manifest_lock(fs, lock) -> None:
             return
     except (FileNotFoundError, ValueError, OSError):
         return
-    try:
-        fsio.delete_file(fs, lock["path"])
-    except FileNotFoundError:
-        pass
+    fsio.delete_file(fs, lock["path"])
 
 
 def is_table(path: str, filesystem=None) -> bool:
@@ -286,6 +281,13 @@ def append(
     fs, root = fsio.resolve(table_dir, cfg.filesystem)
     fsio.mkdirs(fs, root)
     man = read_manifest(table_dir, cfg.filesystem) or {"format": 1, "current": 0, "snapshots": []}
+    if batch_key:
+        done = _committed_batch(fs, root, man, batch_key)
+        if done is not None:
+            # exactly-once: this logical batch already committed (a prior
+            # attempt crashed AFTER its manifest commit) — return its
+            # lineage instead of appending a duplicate
+            return done
     if man["snapshots"]:
         last = snapshot_dirs(table_dir, filesystem=cfg.filesystem)[-1][1]
         _, lastroot = fsio.resolve(last, cfg.filesystem)
@@ -324,27 +326,47 @@ def append(
     lock = _acquire_manifest_lock(fs, root)
     try:
         latest = read_manifest(table_dir, cfg.filesystem) or man
+        if batch_key:
+            done = _committed_batch(fs, root, latest, batch_key)
+            if done is not None:
+                # a concurrent holder of the same key committed while we
+                # encoded — keep the table exactly-once; our fresh dir
+                # stays behind as an orphan for vacuum()
+                return done
         # strictly greater than every committed id — NOT "first free id":
         # a ``since=k`` incremental consumer assumes ids are monotone in
         # commit order, so a later commit must never fill an earlier gap
         commit_id = max(
             next_id, max((s["id"] for s in latest["snapshots"]), default=0) + 1
         )
-        latest["snapshots"].append(
-            {
-                "id": commit_id,
-                "dir": snap_name,
-                "rows": lin["rows"],
-                "raw_bytes": lin["raw_bytes"],
-                "enc_bytes": lin["enc_bytes"],
-                "created_unix": time.time(),
-            }
-        )
+        entry = {
+            "id": commit_id,
+            "dir": snap_name,
+            "rows": lin["rows"],
+            "raw_bytes": lin["raw_bytes"],
+            "enc_bytes": lin["enc_bytes"],
+            "created_unix": time.time(),
+        }
+        if batch_key:
+            entry["batch_key"] = batch_key  # the exactly-once record
+        latest["snapshots"].append(entry)
         latest["current"] = max(commit_id, latest.get("current", 0))
         _write_manifest(table_dir, latest, cfg.filesystem)
     finally:
         _release_manifest_lock(fs, lock)
     return lin
+
+
+def _committed_batch(fs, root: str, man: dict, batch_key: str) -> dict | None:
+    """The committed lineage of ``batch_key``'s snapshot, or None if no
+    snapshot in ``man`` carries that key."""
+    for s in man.get("snapshots", []):
+        if s.get("batch_key") == batch_key:
+            lin = fsio.read_json(fs, fsio.join(root, s["dir"], "_lineage.json"))
+            lin["already_committed"] = True
+            lin["snapshot_id"] = s["id"]
+            return lin
+    return None
 
 
 def _write_manifest(table_dir: str, man: dict, filesystem=None) -> None:
@@ -382,9 +404,15 @@ def compact(
     old = snapshot_dirs(table_dir, filesystem=cfg.filesystem)
     next_id = max(s["id"] for s in man["snapshots"]) + 1
     fs, root = fsio.resolve(table_dir, cfg.filesystem)
+    # deterministic resume key: a retry compacting the SAME snapshot set
+    # adopts the crashed attempt's staging dir (resume skips committed
+    # partitions); if the table changed meanwhile the key differs and the
+    # stale partial encode is correctly abandoned (vacuum collects it)
+    compact_key = "compact:" + ",".join(str(s["id"]) for s in sorted(
+        man["snapshots"], key=lambda s: s["id"]))
     lock = _acquire_manifest_lock(fs, root)
     try:
-        snap_name = _claim_staging_dir(fs, root, man, next_id)
+        snap_name = _claim_staging_dir(fs, root, man, next_id, compact_key)
     finally:
         _release_manifest_lock(fs, lock)
     snap_dir = os.path.join(table_dir, snap_name)
@@ -428,3 +456,27 @@ def compact(
             sfs, sroot = fsio.resolve(sdir, cfg.filesystem)
             fsio.delete_dir(sfs, sroot)
     return lin
+
+
+def vacuum(table_dir: str, older_than_s: float = 86400.0, filesystem=None) -> list[str]:
+    """Delete abandoned staging dirs: ``snap-*`` dirs not referenced by
+    the manifest whose newest file activity is older than
+    ``older_than_s`` (default 24 h — generously beyond any live encode's
+    inter-file gap). This is where unkeyed crashed appends, lost
+    compactions, and superseded keyed retries end up; committed snapshot
+    dirs are never touched. Returns the deleted dir names."""
+    fs, root = fsio.resolve(table_dir, filesystem)
+    man = read_manifest(table_dir, filesystem)
+    committed = {s["dir"] for s in (man["snapshots"] if man else [])}
+    deleted = []
+    for d in fsio.listdir(fs, root):
+        if not d.startswith("snap-") or d in committed:
+            continue
+        p = fsio.join(root, d)
+        if not fsio.is_dir(fs, p):
+            continue
+        mt = fsio.newest_mtime(fs, p)
+        if mt is None or time.time() - mt > older_than_s:
+            fsio.delete_dir(fs, p)
+            deleted.append(d)
+    return deleted

@@ -325,3 +325,50 @@ class TestReviewR3Fixes:
         probes = [base + dt.timedelta(minutes=m) for m in range(0, 1200, 2)]
         got = decode_job.decode(spark, d, key_in=("ts", probes))
         assert got.count() == 600
+
+
+class TestProbeFrameDateColumn:
+    def test_key_in_date_column_with_datetime_and_date_probes(self, spark, tmp_path):
+        """datetime probes against a DATE column demote to their UTC
+        calendar date (epoch micros read as days returned empty results);
+        plain date probes pass through."""
+        import datetime as dt
+
+        from parquet2_spark.operators import decode_job
+        from parquet2_spark.operators.encode_job import EncodeConfig, encode
+
+        df = spark.range(400).select(
+            F.col("id").alias("k"),
+            F.date_from_unix_date((F.lit(19800) + F.col("id")).cast("int")).alias("day"),
+        )
+        d = str(tmp_path / "datein")
+        encode(spark, df, d, EncodeConfig(target_rows=100, key="day", sort_by="day",
+                                          host_from_key=False, bloom_columns=("day",)))
+        base = dt.date(1970, 1, 1) + dt.timedelta(days=19800)
+        probes = [
+            base + dt.timedelta(days=3),                                 # date
+            dt.datetime.combine(base + dt.timedelta(days=7), dt.time(14, 30)),  # datetime
+            dt.datetime(2030, 1, 1),                                     # no match
+        ]
+        got = sorted(r["day"] for r in
+                     decode_job.decode(spark, d, key_in=("day", probes)).collect())
+        assert got == [base + dt.timedelta(days=3), base + dt.timedelta(days=7)]
+
+    def test_key_in_mixed_types_rejected(self, spark, tmp_path):
+        import datetime as dt
+
+        from parquet2_spark.operators import decode_job
+        from parquet2_spark.operators.encode_job import EncodeConfig, encode
+
+        df = spark.range(50).select(
+            F.col("id").alias("k"),
+            F.date_from_unix_date(F.col("id").cast("int")).alias("day"),
+        )
+        d = str(tmp_path / "mixin")
+        encode(spark, df, d, EncodeConfig(target_rows=50, key="k", sort_by="k",
+                                          host_from_key=False))
+        import pytest as _pt
+        with _pt.raises(TypeError, match="homogeneous"):
+            decode_job.decode(
+                spark, d, key_in=("day", [dt.date(1970, 1, 2), "1970-01-03"])
+            ).collect()

@@ -318,3 +318,99 @@ class TestBatchKeyAdoption:
         # both snapshots' data decode correctly (the orphan is invisible)
         from parquet2_spark.operators import decode_job
         assert decode_job.decode(spark, tdir).count() == 100  # 2 batches x 50
+
+
+class TestReviewR3bFixes:
+    """Second-pass review findings on the lock/adoption fixes."""
+
+    def test_torn_lock_self_heals_by_mtime(self, tmp_path):
+        """A torn (empty) lock ages by FILE mtime, so later acquires steal
+        it instead of leaving the table bricked forever."""
+        import os, pathlib
+
+        fs = pafs.LocalFileSystem()
+        root = str(tmp_path)
+        fsio.mkdirs(fs, fsio.join(root, table.LOCK_DIR))
+        lock_path = fsio.join(root, table.LOCK_DIR, "manifest.lock")
+        pathlib.Path(lock_path).write_bytes(b"")
+        past = time.time() - table.LOCK_STALE_S - 5
+        os.utime(lock_path, (past, past))
+        got = table._acquire_manifest_lock(fs, root, wait_s=5)
+        assert json.loads(fsio.read_bytes(fs, got["path"]))["token"] == got["token"]
+        table._release_manifest_lock(fs, got)
+
+    def test_steal_refuses_recreated_lock(self, tmp_path):
+        """Compare-then-delete: if the lock content changed since we
+        judged it stale, the steal must be a no-op."""
+        fs = pafs.LocalFileSystem()
+        root = str(tmp_path)
+        fsio.mkdirs(fs, fsio.join(root, table.LOCK_DIR))
+        lock_path = fsio.join(root, table.LOCK_DIR, "manifest.lock")
+        stale_raw = json.dumps({"token": "dead", "created_unix": 0}).encode()
+        fresh_raw = json.dumps({"token": "fresh", "created_unix": time.time()}).encode()
+        fsio.write_json_atomic(fs, lock_path, json.loads(fresh_raw))
+        table._steal_lock(fs, lock_path, stale_raw)  # judged the OLD content
+        assert json.loads(fsio.read_bytes(fs, lock_path))["token"] == "fresh"
+
+    def test_batch_key_exactly_once_across_commit_crash(self, spark, tmp_path):
+        """A retry AFTER the manifest commit must not duplicate the batch:
+        the committed snapshot entry records batch_key and the retry
+        short-circuits to its lineage."""
+        tdir = str(tmp_path / "tblx")
+        b1 = _batch(spark, 1).cache(); b1.count()
+        lin1 = append(spark, b1, tdir, _cfg(), batch_key="B1")
+        lin2 = append(spark, b1, tdir, _cfg(), batch_key="B1")  # retry
+        assert lin2.get("already_committed") is True
+        assert lin2["rows"] == lin1["rows"]
+        man = read_manifest(tdir)
+        assert len(man["snapshots"]) == 1
+        assert man["snapshots"][0]["batch_key"] == "B1"
+        # a DIFFERENT key appends normally
+        append(spark, _batch(spark, 2), tdir, _cfg(), batch_key="B2")
+        assert len(read_manifest(tdir)["snapshots"]) == 2
+
+    def test_compact_retry_resumes_same_input_set(self, spark, tmp_path, monkeypatch):
+        """A crashed compaction over the same snapshot set adopts its
+        staging dir on retry (deterministic compact key)."""
+        tdir = str(tmp_path / "tblc")
+        append(spark, _batch(spark, 1), tdir, _cfg())
+        append(spark, _batch(spark, 2), tdir, _cfg())
+        man = read_manifest(tdir)
+        fs, root = fsio.resolve(tdir, None)
+        key = "compact:" + ",".join(str(s["id"]) for s in man["snapshots"])
+        # simulate the crashed attempt: claim + full encode, no commit
+        snap = table._claim_staging_dir(fs, root, man, 3, key)
+        from parquet2_spark.operators import decode_job
+        table.encode(spark, decode_job.decode(spark, tdir), fsio.join(root, snap),
+                     EncodeConfig(target_rows=64, page_rows=32, sort_by="k", key="k",
+                                  host_from_key=False))
+        monkeypatch.setattr(table, "ADOPT_QUIET_S", 0.5)
+        time.sleep(0.8)
+        lin = compact(spark, tdir, EncodeConfig(target_rows=64, page_rows=32,
+                                                sort_by="k", key="k",
+                                                host_from_key=False))
+        assert lin["resumed_partitions_skipped"] > 0
+        assert read_manifest(tdir)["snapshots"][0]["dir"] == snap
+
+    def test_vacuum_collects_aged_orphans_only(self, spark, tmp_path):
+        import os
+
+        tdir = str(tmp_path / "tblv")
+        append(spark, _batch(spark, 1), tdir, _cfg())
+        fs, root = fsio.resolve(tdir, None)
+        man = read_manifest(tdir)
+        orphan = table._claim_staging_dir(fs, root, man, 2)
+        committed_dir = man["snapshots"][0]["dir"]
+        # age every file in the orphan
+        past = time.time() - 10
+        for base, _, files in os.walk(fsio.join(root, orphan)):
+            for f in files:
+                os.utime(os.path.join(base, f), (past, past))
+        deleted = table.vacuum(tdir, older_than_s=5)
+        assert deleted == [orphan]
+        assert not fsio.exists(fs, fsio.join(root, orphan, table.CLAIM))
+        assert fsio.is_dir(fs, fsio.join(root, committed_dir))  # untouched
+        # a FRESH orphan is protected
+        fresh = table._claim_staging_dir(fs, root, read_manifest(tdir), 3)
+        assert table.vacuum(tdir, older_than_s=5) == []
+        assert fsio.is_dir(fs, fsio.join(root, fresh))
