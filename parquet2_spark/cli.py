@@ -60,6 +60,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("table")
     sp.add_argument("--keep-old", action="store_true",
                     help="keep old snapshot dirs (external time-travel archival)")
+    sp = sub.add_parser("vacuum")
+    sp.add_argument("table")
+    sp.add_argument("--older-than", type=float, default=86400.0, metavar="SECONDS",
+                    help="delete unreferenced staging dirs quiet this long (default 24h)")
     sp = sub.add_parser("decode")
     sp.add_argument("snapshot")
     sp.add_argument("output")
@@ -91,6 +95,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.cmd == "rowcount":
         print(decode_job.lineage(args.snapshot)["rows"])
+        return 0
+    if args.cmd == "vacuum":
+        from .operators.table import vacuum
+
+        deleted = vacuum(args.table, older_than_s=args.older_than)
+        print(json.dumps({"deleted": deleted}))
         return 0
 
     spark = _spark()

@@ -140,3 +140,27 @@ def test_cli_compact(spark, tmp_path_factory):
     assert len(man["snapshots"]) == 1
     from parquet2_spark.operators import decode_job
     assert decode_job.decode(spark, tdir).count() == 200
+
+
+def test_cli_vacuum(spark, tmp_path):
+    import os, time as _t
+
+    from parquet2_spark import fsio
+    from parquet2_spark.cli import main
+    from parquet2_spark.operators import table
+    from parquet2_spark.operators.table import append, read_manifest
+    from parquet2_spark.operators.encode_job import EncodeConfig
+
+    tdir = str(tmp_path / "t")
+    df = spark.range(50).selectExpr("id as k", "cast(id as string) as v")
+    append(spark, df, tdir, EncodeConfig(target_rows=50, key="k", sort_by="k",
+                                         host_from_key=False))
+    fs, root = fsio.resolve(tdir, None)
+    orphan = table._claim_staging_dir(fs, root, read_manifest(tdir), 2)
+    past = _t.time() - 100
+    for base, _, files in os.walk(fsio.join(root, orphan)):
+        for f in files:
+            os.utime(os.path.join(base, f), (past, past))
+    rc = main(["vacuum", tdir, "--older-than", "50"])
+    assert rc == 0
+    assert not fsio.is_dir(fs, fsio.join(root, orphan))
