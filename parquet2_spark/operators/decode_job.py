@@ -304,6 +304,27 @@ def _probe_frame(spark: SparkSession, vals: list, ddl: str) -> DataFrame:
 
     n_temporal = sum(isinstance(v, (_dt.date, _dt.datetime)) for v in vals)
     if n_temporal == 0:
+        if (ddl.startswith("timestamp") or ddl == "date") and all(
+            isinstance(v, int) and not isinstance(v, bool) for v in vals
+        ):
+            # ints against temporal columns mean epoch micros / days (the
+            # zone-map storage unit, same convention as the residual
+            # _bound and the CLI's --key-in typing); createDataFrame
+            # would reject raw ints for these types outright
+            raw = spark.createDataFrame([(int(v),) for v in vals], "`m` long")
+            if ddl == "date":
+                return raw.select(
+                    F.date_from_unix_date(F.col("m").cast("int")).alias("__p2s_probe")
+                )
+            if ddl == "timestamp_ntz":
+                walls = [_wall_str(v) for v in vals]
+                raw = spark.createDataFrame([(w,) for w in walls], "`m` string")
+                return raw.select(
+                    F.col("m").cast("timestamp_ntz").alias("__p2s_probe")
+                )
+            return raw.select(
+                F.timestamp_micros(F.col("m")).cast(ddl).alias("__p2s_probe")
+            )
         return spark.createDataFrame([(v,) for v in vals], f"`__p2s_probe` {ddl}")
     if n_temporal != len(vals):
         raise TypeError(
@@ -763,11 +784,16 @@ def decode(
         import datetime as _dt
 
         in_col, in_vals = key_in
-        if any(isinstance(v, (_dt.date, _dt.datetime)) for v in in_vals):
+        in_ddl = schema_map[in_col]
+        if in_ddl.startswith("timestamp") or in_ddl == "date" or any(
+            isinstance(v, (_dt.date, _dt.datetime)) for v in in_vals
+        ):
             # residual via broadcast semi-join on the SAME typed probe
             # frame the bloom pass hashed — session-tz-safe like
-            # _typed_lit, but O(1) expression depth (an N-deep Or tree of
-            # typed literals fails codegen for large batch-fetch lists)
+            # _typed_lit, O(1) expression depth (an N-deep Or tree of
+            # typed literals fails codegen for large batch-fetch lists),
+            # and unit-correct for epoch-int probes (isin would read an
+            # int against a timestamp column as SECONDS)
             pf = in_probe_frame
             out = out.join(
                 F.broadcast(pf), out[in_col] == pf["__p2s_probe"], "left_semi"

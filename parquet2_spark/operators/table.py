@@ -359,9 +359,13 @@ def append(
 
 def _committed_batch(fs, root: str, man: dict, batch_key: str) -> dict | None:
     """The committed lineage of ``batch_key``'s snapshot, or None if no
-    snapshot in ``man`` carries that key."""
+    snapshot in ``man`` carries that key. Compacted snapshots carry the
+    keys of everything they absorbed (``compacted_batch_keys``), so the
+    exactly-once guarantee survives compaction."""
     for s in man.get("snapshots", []):
-        if s.get("batch_key") == batch_key:
+        if s.get("batch_key") == batch_key or batch_key in s.get(
+            "compacted_batch_keys", []
+        ):
             lin = fsio.read_json(fs, fsio.join(root, s["dir"], "_lineage.json"))
             lin["already_committed"] = True
             lin["snapshot_id"] = s["id"]
@@ -421,21 +425,35 @@ def compact(
     lin = encode(spark, df, snap_dir, cfg, resume=True)
 
     compacted_ids = {s["id"] for s in man["snapshots"]}
+    # batch keys of everything absorbed ride along so a late keyed retry
+    # still short-circuits (exactly-once survives compaction)
+    absorbed_keys = sorted(
+        {s["batch_key"] for s in man["snapshots"] if s.get("batch_key")}
+        | {k for s in man["snapshots"] for k in s.get("compacted_batch_keys", [])}
+    )
+    entry = {
+        "id": next_id,
+        "dir": snap_name,
+        "rows": lin["rows"],
+        "raw_bytes": lin["raw_bytes"],
+        "enc_bytes": lin["enc_bytes"],
+        "created_unix": time.time(),
+        "compacted_from": sorted(compacted_ids),
+    }
+    if absorbed_keys:
+        entry["compacted_batch_keys"] = absorbed_keys
     new_man = {
         "format": man["format"],
         "current": next_id,
-        "snapshots": [
-            {
-                "id": next_id,
-                "dir": snap_name,
-                "rows": lin["rows"],
-                "raw_bytes": lin["raw_bytes"],
-                "enc_bytes": lin["enc_bytes"],
-                "created_unix": time.time(),
-                "compacted_from": sorted(compacted_ids),
-            }
-        ],
+        "snapshots": [entry],
     }
+    if keep_old:
+        # archived (manifest-unreferenced) dirs must survive vacuum()
+        new_man["archived"] = sorted(
+            set(man.get("archived", [])) | {s["dir"] for s in man["snapshots"]}
+        )
+    elif man.get("archived"):
+        new_man["archived"] = man["archived"]
     # the (long) re-encode ran outside the lock; refuse the manifest
     # replace if any snapshot was appended meanwhile — the rewrite would
     # silently drop it. Caller retries the compaction over the new state.
@@ -458,25 +476,40 @@ def compact(
     return lin
 
 
+VACUUM_FLOOR_S = 3600.0  # quiet-age floor: must exceed any plausible
+# encode-finished-to-manifest-commit stall, or vacuum could collect a
+# snapshot whose commit is still in flight
+
+
 def vacuum(table_dir: str, older_than_s: float = 86400.0, filesystem=None) -> list[str]:
-    """Delete abandoned staging dirs: ``snap-*`` dirs not referenced by
-    the manifest whose newest file activity is older than
-    ``older_than_s`` (default 24 h — generously beyond any live encode's
-    inter-file gap). This is where unkeyed crashed appends, lost
-    compactions, and superseded keyed retries end up; committed snapshot
-    dirs are never touched. Returns the deleted dir names."""
+    """Delete abandoned staging dirs: ``snap-*`` dirs neither referenced
+    by the manifest nor archived by ``compact(keep_old=True)``, whose
+    newest file activity is older than ``older_than_s`` (default 24 h,
+    floored at ``VACUUM_FLOOR_S``). This is where unkeyed crashed
+    appends, lost compactions, and superseded keyed retries end up;
+    committed and archived snapshot dirs are never touched, dirs without
+    a readable mtime are PROTECTED (an mtime-less store cannot prove a
+    dir is abandoned), and the scan+delete runs under the manifest lock
+    so it cannot race a concurrent claim or commit. Returns the deleted
+    dir names."""
     fs, root = fsio.resolve(table_dir, filesystem)
-    man = read_manifest(table_dir, filesystem)
-    committed = {s["dir"] for s in (man["snapshots"] if man else [])}
+    older_than_s = max(older_than_s, VACUUM_FLOOR_S)
     deleted = []
-    for d in fsio.listdir(fs, root):
-        if not d.startswith("snap-") or d in committed:
-            continue
-        p = fsio.join(root, d)
-        if not fsio.is_dir(fs, p):
-            continue
-        mt = fsio.newest_mtime(fs, p)
-        if mt is None or time.time() - mt > older_than_s:
-            fsio.delete_dir(fs, p)
-            deleted.append(d)
+    lock = _acquire_manifest_lock(fs, root)
+    try:
+        man = read_manifest(table_dir, filesystem)
+        keep = {s["dir"] for s in (man["snapshots"] if man else [])}
+        keep |= set((man or {}).get("archived", []))
+        for d in fsio.listdir(fs, root):
+            if not d.startswith("snap-") or d in keep:
+                continue
+            p = fsio.join(root, d)
+            if not fsio.is_dir(fs, p):
+                continue
+            mt = fsio.newest_mtime(fs, p)
+            if mt is not None and time.time() - mt > older_than_s:
+                fsio.delete_dir(fs, p)
+                deleted.append(d)
+    finally:
+        _release_manifest_lock(fs, lock)
     return deleted

@@ -142,7 +142,7 @@ def test_cli_compact(spark, tmp_path_factory):
     assert decode_job.decode(spark, tdir).count() == 200
 
 
-def test_cli_vacuum(spark, tmp_path):
+def test_cli_vacuum(spark, tmp_path, monkeypatch):
     import os, time as _t
 
     from parquet2_spark import fsio
@@ -151,6 +151,7 @@ def test_cli_vacuum(spark, tmp_path):
     from parquet2_spark.operators.table import append, read_manifest
     from parquet2_spark.operators.encode_job import EncodeConfig
 
+    monkeypatch.setattr(table, "VACUUM_FLOOR_S", 1.0)
     tdir = str(tmp_path / "t")
     df = spark.range(50).selectExpr("id as k", "cast(id as string) as v")
     append(spark, df, tdir, EncodeConfig(target_rows=50, key="k", sort_by="k",

@@ -392,8 +392,10 @@ class TestReviewR3bFixes:
         assert lin["resumed_partitions_skipped"] > 0
         assert read_manifest(tdir)["snapshots"][0]["dir"] == snap
 
-    def test_vacuum_collects_aged_orphans_only(self, spark, tmp_path):
+    def test_vacuum_collects_aged_orphans_only(self, spark, tmp_path, monkeypatch):
         import os
+
+        monkeypatch.setattr(table, "VACUUM_FLOOR_S", 1.0)
 
         tdir = str(tmp_path / "tblv")
         append(spark, _batch(spark, 1), tdir, _cfg())
@@ -414,3 +416,71 @@ class TestReviewR3bFixes:
         fresh = table._claim_staging_dir(fs, root, read_manifest(tdir), 3)
         assert table.vacuum(tdir, older_than_s=5) == []
         assert fsio.is_dir(fs, fsio.join(root, fresh))
+
+
+class TestReviewR3cFixes:
+    """Third-pass review: vacuum×archive, compaction×batch_key, probes."""
+
+    def test_vacuum_spares_keep_old_archives(self, spark, tmp_path, monkeypatch):
+        import os
+
+        monkeypatch.setattr(table, "VACUUM_FLOOR_S", 1.0)
+        tdir = str(tmp_path / "tbla")
+        append(spark, _batch(spark, 1), tdir, _cfg())
+        append(spark, _batch(spark, 2), tdir, _cfg())
+        old_dirs = [s["dir"] for s in read_manifest(tdir)["snapshots"]]
+        compact(spark, tdir, _cfg(), keep_old=True)
+        fs, root = fsio.resolve(tdir, None)
+        # age everything well past the threshold
+        past = time.time() - 100
+        for d in old_dirs:
+            for base, _, files in __import__("os").walk(fsio.join(root, d)):
+                for f in files:
+                    os.utime(os.path.join(base, f), (past, past))
+        assert table.vacuum(tdir, older_than_s=5) == []
+        for d in old_dirs:
+            assert fsio.is_dir(fs, fsio.join(root, d))  # archive intact
+
+    def test_vacuum_protects_empty_and_fresh_dirs(self, spark, tmp_path, monkeypatch):
+        monkeypatch.setattr(table, "VACUUM_FLOOR_S", 1.0)
+        tdir = str(tmp_path / "tble")
+        append(spark, _batch(spark, 1), tdir, _cfg())
+        fs, root = fsio.resolve(tdir, None)
+        # an empty dir has no mtime evidence → protected, never deleted
+        fsio.mkdirs(fs, fsio.join(root, "snap-000099-empty"))
+        assert table.vacuum(tdir, older_than_s=5) == []
+        assert fsio.is_dir(fs, fsio.join(root, "snap-000099-empty"))
+
+    def test_batch_key_survives_compaction(self, spark, tmp_path):
+        tdir = str(tmp_path / "tblbk")
+        b1 = _batch(spark, 1).cache(); b1.count()
+        append(spark, b1, tdir, _cfg(), batch_key="B1")
+        append(spark, _batch(spark, 2), tdir, _cfg(), batch_key="B2")
+        compact(spark, tdir, _cfg())
+        man = read_manifest(tdir)
+        assert man["snapshots"][0]["compacted_batch_keys"] == ["B1", "B2"]
+        # the keyed retry after compaction still short-circuits
+        lin = append(spark, b1, tdir, _cfg(), batch_key="B1")
+        assert lin.get("already_committed") is True
+        assert len(read_manifest(tdir)["snapshots"]) == 1  # no duplicate
+
+    def test_key_in_epoch_int_probes_on_temporal_columns(self, spark, tmp_path):
+        """Epoch-int probes (the CLI's unit) against timestamp and date
+        columns: micros/days, never seconds, never a type crash."""
+        from parquet2_spark.operators import decode_job
+
+        df = spark.range(200).select(
+            F.col("id").alias("k"),
+            F.timestamp_micros(F.lit(1_700_000_000_000_000) + F.col("id") * 1_000_000).alias("ts"),
+            F.date_from_unix_date((F.lit(19800) + F.col("id")).cast("int")).alias("day"),
+        )
+        d = str(tmp_path / "epochin")
+        table.encode(spark, df, d,
+                     EncodeConfig(target_rows=100, key="k", sort_by="k",
+                                  host_from_key=False, bloom_columns=("ts",)))
+        got = decode_job.decode(
+            spark, d, key_in=("ts", [1_700_000_000_000_000 + 7_000_000])
+        ).collect()
+        assert [r["k"] for r in got] == [7]
+        got2 = decode_job.decode(spark, d, key_in=("day", [19805, 19807])).collect()
+        assert sorted(r["k"] for r in got2) == [5, 7]
