@@ -555,6 +555,26 @@ def decode(
     preds = list(key_ranges or [])
     if key_range:
         preds.append(key_range)
+    if key_eq is not None:
+        # zone maps prune equality as the degenerate range [v, v]: a
+        # sorted or range-partitioned key prunes partitions AND pages
+        # (binary-searched on boundary-ordered chunks) even when no
+        # bloom was stored — the bloom below stays the hash-based second
+        # stage. NaN is excluded: Spark equality holds NaN == NaN, but a
+        # range compare would prune the NaN-bearing pages.
+        import math as _math
+
+        eqc, eqv = key_eq
+        if eqv is not None and not (isinstance(eqv, float) and _math.isnan(eqv)):
+            preds.append((eqc, eqv, eqv))
+    if key_in is not None and key_in[1]:
+        # coarse [min, max] zone-map envelope over the IN-list (exact
+        # membership still enforced by bloom + residual): a clustered id
+        # batch-fetch touches only the overlapping key range
+        try:
+            preds.append((key_in[0], min(key_in[1]), max(key_in[1])))
+        except TypeError:
+            pass  # unorderable/mixed values — bloom + residual only
     key_cols = [p[0] for p in preds]
     key_col = key_cols[0] if key_cols else None
     for pcol, lo, hi in preds:

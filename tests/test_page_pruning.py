@@ -98,3 +98,41 @@ class TestBoundaryOrder:
         ).filter(F.col("url").between(lo, hi)).count()
         want = df.filter(F.col("url").between(lo, hi)).count()
         assert want > 0 and got == want
+
+
+class TestEqualityZoneMapPruning:
+    """key_eq/key_in prune via zone maps even without a stored bloom:
+    equality is the range [v, v]; an IN-list has a [min, max] envelope."""
+
+    def test_bloomless_key_eq(self, spark, tmp_path):
+        df = webgen.webpages_df(spark, 2000, partitions=4)
+        snap = str(tmp_path / "eqsnap")
+        encode(spark, df, snap, EncodeConfig(target_rows=500, page_rows=100,
+                                             sort_by="warc_ts"))  # no bloom_columns
+        probe = df.select("url").collect()[123]["url"]
+        got = decode_job.decode(spark, snap, key_eq=("url", probe)).collect()
+        assert len(got) == 1 and got[0]["url"] == probe
+        # a probe outside every zone map → typed empty
+        miss = decode_job.decode(spark, snap, columns=["url"], key_eq=("url", "zzz~"))
+        assert miss.count() == 0 and dict(miss.dtypes)["url"] == "string"
+
+    def test_key_eq_nan_rows_survive(self, spark, tmp_path):
+        import math
+
+        rows = [(i, float(i)) for i in range(50)] + [(50 + i, float("nan")) for i in range(5)]
+        df = spark.createDataFrame(rows, "k long, score double")
+        snap = str(tmp_path / "nansnap")
+        encode(spark, df, snap, EncodeConfig(target_rows=20, page_rows=10,
+                                             sort_by="k", key="k", host_from_key=False))
+        got = decode_job.decode(spark, snap, key_eq=("score", float("nan"))).collect()
+        # Spark equality holds NaN == NaN; the [v,v] range prune must not fire
+        assert sorted(r["k"] for r in got) == list(range(50, 55))
+
+    def test_key_in_envelope_prunes_but_stays_exact(self, spark, tmp_path):
+        df = spark.range(4000).selectExpr("id as k", "cast(id as string) as v")
+        snap = str(tmp_path / "insnap")
+        encode(spark, df, snap, EncodeConfig(target_rows=500, page_rows=100,
+                                             sort_by="k", key="k", host_from_key=False))
+        # clustered fetch: all probes inside one narrow range
+        got = decode_job.decode(spark, snap, key_in=("k", [1001, 1007, 1042])).collect()
+        assert sorted(r["k"] for r in got) == [1001, 1007, 1042]
