@@ -113,7 +113,10 @@ CHUNK_PA_SCHEMA = pa.schema(
 class EncodeConfig:
     target_rows: int = 131_072  # rows per partition (≙ row-group size)
     page_rows: int = 8_192  # rows per page (≙ data page size)
-    sort_by: str | None = "url"  # sort within partition (front-coding wins)
+    # sort within partition (front-coding wins on sorted urls); a tuple
+    # gives a compound key — ("host", "warc_ts") is the natural web
+    # layout: host-clustered for front coding, time-ordered inside
+    sort_by: str | tuple | None = "url"
     key: str = "url"  # unique key used for salting hot hosts
     host_from_key: bool = True  # bucket by host(url) for locality
     selector: SelectorConfig = field(default_factory=SelectorConfig)
@@ -279,8 +282,14 @@ def _encode_partition_arrow(
     t0 = time.time()
     c0 = time.process_time()
     part_id = int(in_table.column("_part_id")[0].as_py())
-    if cfg.sort_by and cfg.sort_by in in_table.schema.names:
-        order = pc.sort_indices(in_table, sort_keys=[(cfg.sort_by, "ascending")])
+    sort_cols = (
+        [cfg.sort_by] if isinstance(cfg.sort_by, str) else list(cfg.sort_by or [])
+    )
+    sort_cols = [c for c in sort_cols if c in in_table.schema.names]
+    if sort_cols:
+        order = pc.sort_indices(
+            in_table, sort_keys=[(c, "ascending") for c in sort_cols]
+        )
         in_table = in_table.take(order)
     # keep original column order/types; _part_id and helpers drop out here
     table = in_table.select(columns).cast(target_schema)

@@ -183,3 +183,25 @@ def test_stats_query(spark, webpages, tmp_path_factory):
     ts = st[st["column"] == "warc_ts"]
     assert int(ts["rows"].sum()) == N_ROWS
     assert int(ts["min_num"].min()) >= 1_704_067_200_000_000
+
+
+def test_compound_sort_key(spark, tmp_path):
+    """sort_by as a tuple: primary/secondary ordering inside each
+    partition — the (host, timestamp) web layout — with bit-identical
+    round-trip and a boundary-ordered primary column."""
+    from parquet2_spark.operators import decode_job, validate
+
+    df = spark.range(3000).selectExpr(
+        "id as k",
+        "cast(id % 7 as string) as lang",
+        "cast(id as string) as body",
+    )
+    snap = str(tmp_path / "compound")
+    encode(spark, df, snap,
+           EncodeConfig(target_rows=1500, page_rows=250, sort_by=("lang", "k"),
+                        key="k", host_from_key=False))
+    rep = validate.digest_frames(df, decode_job.decode(spark, snap))
+    assert rep["bit_identical"]
+    orders = {r["column"]: r["bounds_order"]
+              for r in decode_job.chunks_df(spark, snap).collect()}
+    assert orders["lang"] == "asc"  # the primary sort column is ordered
