@@ -288,6 +288,20 @@ def _typed_lit(v, ddl: str):
         return F.timestamp_micros(F.lit(_zone_bound(v))).cast(ddl)
     if isinstance(v, _dt.date):
         return F.date_from_unix_date(F.lit(_zone_bound(v))).cast(ddl)
+    if isinstance(v, int) and not isinstance(v, bool) and (
+        ddl.startswith("timestamp") or ddl == "date"
+    ):
+        # plain ints against temporal columns mean epoch MICROS (days for
+        # date) — the zone-map storage unit, same convention as _bound,
+        # _probe_frame and the CLI. Without this branch the F.lit(int)
+        # .cast('timestamp') fallback would read SECONDS (or null on
+        # overflow), so key_eq=('ts', epoch_micros) would bloom-hash the
+        # wrong instant and silently return empty while key_in matched.
+        if ddl == "date":
+            return F.date_from_unix_date(F.lit(int(v)).cast("int"))
+        if ddl == "timestamp_ntz":
+            return _ntz_lit(int(v))
+        return F.timestamp_micros(F.lit(int(v))).cast(ddl)
     return F.lit(v).cast(ddl)
 
 

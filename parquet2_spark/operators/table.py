@@ -203,7 +203,11 @@ def _adoptable(fs, root: str, orphan: str, batch_key: str | None = None) -> bool
     if not batch_key or claim.get("batch_key") != batch_key:
         return False
     last = float(claim.get("created_unix", 0.0) or 0.0)
-    mt = fsio.newest_mtime(fs, fsio.join(root, orphan, "_commits"))
+    # liveness = newest mtime over the WHOLE staging dir (chunks/, tmp,
+    # _commits, ...), not just _commits: a live writer's first commit
+    # marker can lag its claim by > ADOPT_QUIET_S while its part files
+    # are actively landing under chunks/ — those writes must count.
+    mt = fsio.newest_mtime(fs, fsio.join(root, orphan))
     if mt is not None:
         last = max(last, mt)
     return time.time() - last > ADOPT_QUIET_S
@@ -257,6 +261,31 @@ def _claim_staging_dir(
     return snap_name
 
 
+def _check_additive_schema(fs, root: str, man: dict, new_schema: dict, exc) -> None:
+    """Enforce additive schema evolution (Iceberg add-column) against the
+    LAST snapshot recorded in ``man``: every existing column must keep its
+    type; brand-new columns are allowed and read as NULL in older
+    snapshots. Drops/renames/retypes raise ``exc``. Called twice per
+    append — once pre-encode for fast failure, and again INSIDE the commit
+    lock against the freshly re-read manifest, because a racing append may
+    have committed a conflicting schema while we encoded (merged-lineage
+    last-wins would then silently cast the other snapshot's chunks)."""
+    snaps = man.get("snapshots") or []
+    if not snaps:
+        return
+    last = max(snaps, key=lambda s: s["id"])
+    prev_schema = fsio.read_json(fs, fsio.join(root, last["dir"], "_lineage.json"))[
+        "schema"
+    ]
+    changed = {c: (t, new_schema.get(c)) for c, t in prev_schema.items()
+               if new_schema.get(c) != t}
+    if changed:
+        raise exc(
+            f"append would drop/retype table columns {changed}; only "
+            f"adding new columns is supported (additive evolution)"
+        )
+
+
 def append(
     spark: SparkSession,
     df: DataFrame,
@@ -288,21 +317,8 @@ def append(
             # attempt crashed AFTER its manifest commit) — return its
             # lineage instead of appending a duplicate
             return done
-    if man["snapshots"]:
-        last = snapshot_dirs(table_dir, filesystem=cfg.filesystem)[-1][1]
-        _, lastroot = fsio.resolve(last, cfg.filesystem)
-        prev_schema = fsio.read_json(fs, fsio.join(lastroot, "_lineage.json"))["schema"]
-        new_schema = dict(df.dtypes)
-        # additive schema evolution (Iceberg add-column): every existing
-        # column must keep its type; brand-new columns are allowed and
-        # read as NULL in older snapshots. Drops/renames/retypes are not.
-        changed = {c: (t, new_schema.get(c)) for c, t in prev_schema.items()
-                   if new_schema.get(c) != t}
-        if changed:
-            raise ValueError(
-                f"append would drop/retype table columns {changed}; only "
-                f"adding new columns is supported (additive evolution)"
-            )
+    new_schema = dict(df.dtypes)
+    _check_additive_schema(fs, root, man, new_schema, ValueError)
     # staging-dir choice runs under the manifest lock: adoption of an
     # abandoned orphan and creation of a fresh claimed dir are serialized,
     # so two live writers can never interleave into one snapshot dir
@@ -333,6 +349,13 @@ def append(
                 # encoded — keep the table exactly-once; our fresh dir
                 # stays behind as an orphan for vacuum()
                 return done
+        # re-validate additive evolution against the manifest AS COMMITTED:
+        # the pre-encode check ran outside the lock, so a racing append may
+        # have committed a conflicting schema meanwhile (e.g. both adds of
+        # column y with different types — merged-lineage last-wins would
+        # then silently cast one snapshot's chunks to the wrong type).
+        # Raising CommitConflict here keeps the race loud, like compact().
+        _check_additive_schema(fs, root, latest, dict(lin["schema"]), CommitConflict)
         # strictly greater than every committed id — NOT "first free id":
         # a ``since=k`` incremental consumer assumes ids are monotone in
         # commit order, so a later commit must never fill an earlier gap
@@ -490,8 +513,17 @@ def vacuum(table_dir: str, older_than_s: float = 86400.0, filesystem=None) -> li
     committed and archived snapshot dirs are never touched, dirs without
     a readable mtime are PROTECTED (an mtime-less store cannot prove a
     dir is abandoned), and the scan+delete runs under the manifest lock
-    so it cannot race a concurrent claim or commit. Returns the deleted
-    dir names."""
+    so it cannot race a concurrent claim or commit.
+
+    A dir holding a ``_claim.json`` is additionally protected until the
+    CLAIM itself is older than ``older_than_s``: a live append stalled
+    mid-encode for hours (queued cluster) can be file-quiet while its
+    driver still holds a committed_parts listing — deleting its part
+    files would make the resumed writer skip re-encoding them and commit
+    a manifest referencing missing files (silent row loss). Operators
+    must therefore pick ``older_than_s`` longer than the longest possible
+    append wall-time — the claim age bounds the total job age, not just
+    the quiet gap. Returns the deleted dir names."""
     fs, root = fsio.resolve(table_dir, filesystem)
     older_than_s = max(older_than_s, VACUUM_FLOOR_S)
     deleted = []
@@ -507,9 +539,30 @@ def vacuum(table_dir: str, older_than_s: float = 86400.0, filesystem=None) -> li
             if not fsio.is_dir(fs, p):
                 continue
             mt = fsio.newest_mtime(fs, p)
-            if mt is not None and time.time() - mt > older_than_s:
-                fsio.delete_dir(fs, p)
-                deleted.append(d)
+            if mt is None or time.time() - mt <= older_than_s:
+                continue
+            claim_p = fsio.join(p, CLAIM)
+            if fsio.exists(fs, claim_p):
+                # claimed dir: only collect once the CLAIM is older than
+                # the window too — quietness alone can't distinguish an
+                # abandoned dir from a live append stalled mid-encode
+                claim_age = None
+                try:
+                    claim = fsio.read_json(fs, claim_p)
+                    created = float(claim.get("created_unix", 0.0) or 0.0)
+                    if created > 0:
+                        claim_age = time.time() - created
+                except (ValueError, OSError):
+                    pass
+                if claim_age is None:
+                    claim_mt = fsio.file_mtime(fs, claim_p)
+                    claim_age = (
+                        time.time() - claim_mt if claim_mt is not None else None
+                    )
+                if claim_age is None or claim_age <= older_than_s:
+                    continue
+            fsio.delete_dir(fs, p)
+            deleted.append(d)
     finally:
         _release_manifest_lock(fs, lock)
     return deleted

@@ -158,10 +158,18 @@ def test_cli_vacuum(spark, tmp_path, monkeypatch):
                                          host_from_key=False))
     fs, root = fsio.resolve(tdir, None)
     orphan = table._claim_staging_dir(fs, root, read_manifest(tdir), 2)
+    # age the claim CONTENT (vacuum's live-append guard) and every mtime
+    import json as _json
+    claim_p = fsio.join(root, orphan, table.CLAIM)
+    c = _json.loads(fsio.read_bytes(fs, claim_p))
+    c["created_unix"] = _t.time() - 100
+    fsio.write_json_atomic(fs, claim_p, c)
     past = _t.time() - 100
-    for base, _, files in os.walk(fsio.join(root, orphan)):
+    for base, dirs, files in os.walk(fsio.join(root, orphan), topdown=False):
         for f in files:
             os.utime(os.path.join(base, f), (past, past))
+        for d in dirs:
+            os.utime(os.path.join(base, d), (past, past))
     rc = main(["vacuum", tdir, "--older-than", "50"])
     assert rc == 0
     assert not fsio.is_dir(fs, fsio.join(root, orphan))

@@ -8,6 +8,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
+from parquet2_spark import fsio
 from parquet2_spark.operators import decode_job, validate
 from parquet2_spark.operators.encode_job import EncodeConfig, encode
 from parquet2_spark.operators import table
@@ -244,6 +245,12 @@ def test_concurrent_append_commits_under_next_id(spark, tmp_path_factory, monkey
              "raw_bytes": 1, "enc_bytes": 1, "created_unix": _time.time()}
         )
         man["current"] = 2
+        fs, root = fsio.resolve(tdir, None)
+        fsio.mkdirs(fs, fsio.join(root, "snap-000002-foreign"))
+        fsio.write_json_atomic(
+            fs, fsio.join(root, "snap-000002-foreign", "_lineage.json"),
+            {"schema": dict(b1.dtypes)},
+        )  # a real committed snapshot always carries its lineage
         table._write_manifest(tdir, man)
         return lin
 

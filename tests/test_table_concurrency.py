@@ -33,6 +33,22 @@ def _batch(spark, tag: int, n: int = 50):
     )
 
 
+def _age_tree(path: str, age_s: float) -> None:
+    """Backdate every file AND directory under ``path`` (and ``path``
+    itself) by ``age_s`` — simulates a staging dir whose writer crashed
+    that long ago. _adoptable/vacuum judge liveness by the newest mtime
+    over the WHOLE tree, so fixtures must age subdirs too."""
+    import os
+
+    past = time.time() - age_s
+    for base, dirs, files in os.walk(path, topdown=False):
+        for f in files:
+            os.utime(os.path.join(base, f), (past, past))
+        for d in dirs:
+            os.utime(os.path.join(base, d), (past, past))
+    os.utime(path, (past, past))
+
+
 class TestExclusiveCreate:
     def test_local_o_excl(self, tmp_path):
         fs = pafs.LocalFileSystem()
@@ -180,6 +196,12 @@ class TestAppendCommit:
                      "raw_bytes": 1, "enc_bytes": 1, "created_unix": time.time()}
                 )
                 man["current"] = 3
+                fs, root = fsio.resolve(tdir, None)
+                fsio.mkdirs(fs, fsio.join(root, "snap-000003-foreign"))
+                fsio.write_json_atomic(
+                    fs, fsio.join(root, "snap-000003-foreign", "_lineage.json"),
+                    {"schema": {"k": "bigint", "v": "string"}},
+                )  # a real committed snapshot always carries its lineage
                 table._write_manifest(tdir, man)
             return lin
 
@@ -228,6 +250,12 @@ class TestAppendCommit:
                  "raw_bytes": 1, "enc_bytes": 1, "created_unix": time.time()}
             )
             man["current"] = 2
+            fs, root = fsio.resolve(tdir, None)
+            fsio.mkdirs(fs, fsio.join(root, "snap-000002-foreign"))
+            fsio.write_json_atomic(
+                fs, fsio.join(root, "snap-000002-foreign", "_lineage.json"),
+                {"schema": {"k": "bigint", "v": "string"}},
+            )
             table._write_manifest(tdir, man)
             return lin
 
@@ -271,6 +299,7 @@ class TestBatchKeyAdoption:
         c = json.loads(fsio.read_bytes(fs, claim_p))
         c["created_unix"] = time.time() - table.ADOPT_QUIET_S * 10
         fsio.write_json_atomic(fs, claim_p, c)
+        _age_tree(fsio.join(root, a_dir), table.ADOPT_QUIET_S * 10)
         assert not table._adoptable(fs, root, a_dir)               # no key
         assert not table._adoptable(fs, root, a_dir, "batch-B")    # wrong key
         assert table._adoptable(fs, root, a_dir, "batch-A")        # retry of A
@@ -294,8 +323,7 @@ class TestBatchKeyAdoption:
         c = json.loads(fsio.read_bytes(fs, claim_p))
         c["created_unix"] = time.time() - table.ADOPT_QUIET_S - 5
         fsio.write_json_atomic(fs, claim_p, c)
-        monkeypatch.setattr(table, "ADOPT_QUIET_S", 1.0)
-        time.sleep(1.2)
+        _age_tree(fsio.join(root, snap), table.ADOPT_QUIET_S + 5)
         lin = append(spark, b2, tdir, _cfg(), batch_key="K1")
         assert lin["resumed_partitions_skipped"] > 0
         man = read_manifest(tdir)
@@ -384,8 +412,11 @@ class TestReviewR3bFixes:
         table.encode(spark, decode_job.decode(spark, tdir), fsio.join(root, snap),
                      EncodeConfig(target_rows=64, page_rows=32, sort_by="k", key="k",
                                   host_from_key=False))
-        monkeypatch.setattr(table, "ADOPT_QUIET_S", 0.5)
-        time.sleep(0.8)
+        claim_p = fsio.join(root, snap, table.CLAIM)
+        c = json.loads(fsio.read_bytes(fs, claim_p))
+        c["created_unix"] = time.time() - table.ADOPT_QUIET_S - 5
+        fsio.write_json_atomic(fs, claim_p, c)
+        _age_tree(fsio.join(root, snap), table.ADOPT_QUIET_S + 5)
         lin = compact(spark, tdir, EncodeConfig(target_rows=64, page_rows=32,
                                                 sort_by="k", key="k",
                                                 host_from_key=False))
@@ -403,11 +434,13 @@ class TestReviewR3bFixes:
         man = read_manifest(tdir)
         orphan = table._claim_staging_dir(fs, root, man, 2)
         committed_dir = man["snapshots"][0]["dir"]
-        # age every file in the orphan
-        past = time.time() - 10
-        for base, _, files in os.walk(fsio.join(root, orphan)):
-            for f in files:
-                os.utime(os.path.join(base, f), (past, past))
+        # age the orphan: both the claim's created_unix (vacuum's
+        # live-append guard) and every file mtime (the quietness check)
+        claim_p = fsio.join(root, orphan, table.CLAIM)
+        c = json.loads(fsio.read_bytes(fs, claim_p))
+        c["created_unix"] = time.time() - 10
+        fsio.write_json_atomic(fs, claim_p, c)
+        _age_tree(fsio.join(root, orphan), 10)
         deleted = table.vacuum(tdir, older_than_s=5)
         assert deleted == [orphan]
         assert not fsio.exists(fs, fsio.join(root, orphan, table.CLAIM))
@@ -484,3 +517,110 @@ class TestReviewR3cFixes:
         assert [r["k"] for r in got] == [7]
         got2 = decode_job.decode(spark, d, key_in=("day", [19805, 19807])).collect()
         assert sorted(r["k"] for r in got2) == [5, 7]
+
+
+class TestAdviceR4Fixes:
+    """Round-3 ADVICE items: commit-lock schema re-validation, whole-dir
+    adoption liveness, claim-aware vacuum, key_eq epoch-int probes."""
+
+    def test_schema_race_detected_at_commit(self, spark, tmp_path, monkeypatch):
+        """Two racing appends both add column y with different types; the
+        loser's commit-lock re-validation raises CommitConflict instead of
+        silently committing a last-wins merged schema."""
+        tdir = str(tmp_path / "tblrace")
+        append(spark, _batch(spark, 1), tdir, _cfg())
+        df_str = _batch(spark, 2).withColumn("y", F.lit("s"))
+        df_int = _batch(spark, 3).withColumn("y", F.lit(1).cast("long"))
+        real_encode = table.encode
+        state = {"raced": False}
+
+        def racing_encode(spark_, df_, snap_dir, cfg, resume=True):
+            lin = real_encode(spark_, df_, snap_dir, cfg, resume=resume)
+            if not state["raced"]:
+                state["raced"] = True
+                # competing writer commits y:bigint while we encoded y:string
+                append(spark_, df_int, tdir, _cfg())
+            return lin
+
+        monkeypatch.setattr(table, "encode", racing_encode)
+        with pytest.raises(CommitConflict):
+            append(spark, df_str, tdir, _cfg())
+        # the winner's commit survives; the table has exactly 2 snapshots
+        man = read_manifest(tdir)
+        assert len(man["snapshots"]) == 2
+
+    def test_adoption_sees_chunk_writes_as_liveness(self, spark, tmp_path):
+        """A live writer whose first commit marker lags >ADOPT_QUIET_S is
+        still landing part files under chunks/ — those writes must block
+        adoption even when claim + _commits look quiet."""
+        import pathlib
+
+        fs = pafs.LocalFileSystem()
+        root = str(tmp_path)
+        man = {"format": 1, "current": 0, "snapshots": []}
+        a_dir = table._claim_staging_dir(fs, root, man, 2, batch_key="bk")
+        claim_p = fsio.join(root, a_dir, table.CLAIM)
+        c = json.loads(fsio.read_bytes(fs, claim_p))
+        c["created_unix"] = time.time() - table.ADOPT_QUIET_S * 10
+        fsio.write_json_atomic(fs, claim_p, c)
+        _age_tree(fsio.join(root, a_dir), table.ADOPT_QUIET_S * 10)
+        assert table._adoptable(fs, root, a_dir, "bk")  # fully quiet
+        # a FRESH part file under chunks/ (no commit marker yet) = live
+        chunks = pathlib.Path(root, a_dir, "chunks")
+        chunks.mkdir(exist_ok=True)
+        (chunks / "part-000000.parquet.inprogress").write_bytes(b"x")
+        assert not table._adoptable(fs, root, a_dir, "bk")
+
+    def test_vacuum_spares_live_claim_despite_quiet_files(self, tmp_path, monkeypatch):
+        """File-quiet but recently-claimed dir (append stalled mid-encode,
+        e.g. queued cluster) is NOT collected until the claim itself ages
+        past older_than_s."""
+        monkeypatch.setattr(table, "VACUUM_FLOOR_S", 1.0)
+        fs = pafs.LocalFileSystem()
+        tdir = str(tmp_path / "tblvl")
+        root = tdir
+        fsio.mkdirs(fs, root)
+        table._write_manifest(tdir, {"format": 1, "current": 0, "snapshots": []})
+        man = {"format": 1, "current": 0, "snapshots": []}
+        orphan = table._claim_staging_dir(fs, root, man, 1, batch_key="bk")
+        # files quiet for 100s, claim content says created 2s ago
+        _age_tree(fsio.join(root, orphan), 100)
+        claim_p = fsio.join(root, orphan, table.CLAIM)
+        c = json.loads(fsio.read_bytes(fs, claim_p))
+        c["created_unix"] = time.time() - 2
+        fsio.write_json_atomic(fs, claim_p, c)
+        import os
+        past = time.time() - 100
+        os.utime(claim_p, (past, past))  # mtime quiet; CONTENT decides
+        assert table.vacuum(tdir, older_than_s=5) == []
+        assert fsio.is_dir(fs, fsio.join(root, orphan))
+        # once the claim itself ages out, the dir is collectable
+        c["created_unix"] = time.time() - 100
+        fsio.write_json_atomic(fs, claim_p, c)
+        os.utime(claim_p, (past, past))
+        assert table.vacuum(tdir, older_than_s=5) == [orphan]
+
+    def test_key_eq_epoch_int_probes_on_temporal_columns(self, spark, tmp_path):
+        """key_eq with a bare epoch int against timestamp (MICROS) and
+        date (DAYS) columns matches key_in's convention — the _typed_lit
+        seconds-cast fallback must never be reached (it silently returned
+        empty because the bloom hash probed the wrong instant)."""
+        from parquet2_spark.operators import decode_job
+
+        df = spark.range(200).select(
+            F.col("id").alias("k"),
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000) + F.col("id") * 1_000_000
+            ).alias("ts"),
+            F.date_from_unix_date((F.lit(19800) + F.col("id")).cast("int")).alias("day"),
+        )
+        d = str(tmp_path / "epocheq")
+        table.encode(spark, df, d,
+                     EncodeConfig(target_rows=100, key="k", sort_by="k",
+                                  host_from_key=False, bloom_columns=("ts",)))
+        got = decode_job.decode(
+            spark, d, key_eq=("ts", 1_700_000_000_000_000 + 7_000_000)
+        ).collect()
+        assert [r["k"] for r in got] == [7]
+        got2 = decode_job.decode(spark, d, key_eq=("day", 19805)).collect()
+        assert [r["k"] for r in got2] == [5]
