@@ -192,42 +192,54 @@ def stats(spark: SparkSession, snapshot_dir: str) -> DataFrame:
         aggs.append(F.max("ndv").alias("ndv_hint"))
     out = df.groupBy("column", "codecs").agg(*aggs)
     if "ndv_hll" in df.columns:
-        # table-level NDV from the per-chunk HLL register files. Spark
-        # disallows mixing a grouped-agg pandas UDF with built-in aggs, so
-        # the sketches merge in their own two-stage pass: a per-batch
-        # partial merge (one sketch row per group per Arrow batch — a
-        # million-chunk column never ships a million sketches to one
-        # task), then the final grouped merge + estimate.
+        # table-level NDV from the per-chunk HLL register files, fused
+        # into TWO pandas stages over one extra scan (was: premerge +
+        # grouped-agg UDAF + estimate UDF + a separate coverage groupBy +
+        # two joins). Stage 1 (mapInPandas) emits one partial row per
+        # column per Arrow batch — a million-chunk column never ships a
+        # million 64 KB sketches to one task — carrying both the merged
+        # sketch and the coverage-miss flag (a non-empty chunk without a
+        # sketch means the merge cannot see the whole column, so the
+        # estimate must be withheld rather than silently undercount).
+        # Stage 2 (applyInPandas, keyed by column ONLY — NDV is a
+        # table-level property; chunks that picked different codecs still
+        # merge) folds partials straight to the final estimate.
         from ..plans import hll as hll_mod
 
         def premerge(pdfs):
-            for pdf in pdfs:
-                g = pdf.groupby("column")["ndv_hll"].apply(hll_mod.merge).reset_index()
-                yield g
+            import pandas as pd
 
-        # keyed by column ONLY (not codecs): NDV is a table-level property
-        # of the column; chunks that picked different codecs still merge
-        partials = df.select("column", "ndv_hll").mapInPandas(
-            premerge, "column string, ndv_hll binary"
-        )
-        sk = partials.groupBy("column").agg(
-            hll_mod.merge_agg(F.col("ndv_hll")).alias("ndv_sketch")
-        )
-        sk = sk.select("column", hll_mod.estimate_col(F.col("ndv_sketch")).alias("ndv_est"))
-        # coverage guard: a non-empty chunk without a sketch (pre-sketch
-        # snapshot in a mixed table, or sketches disabled for one append)
-        # means the merge does not see the whole column — report no
-        # estimate rather than a silent undercount
-        miss = df.groupBy("column").agg(
-            F.sum((F.col("ndv_hll").isNull() & (F.col("n_rows") > 0)).cast("int")).alias(
-                "_ndv_miss"
+            for pdf in pdfs:
+                rows = []
+                for col, g in pdf.groupby("column"):
+                    miss = bool(((g["n_rows"] > 0) & g["ndv_hll"].isna()).any())
+                    sk = None if miss else hll_mod.merge(g["ndv_hll"])
+                    rows.append((col, sk, miss))
+                yield pd.DataFrame(rows, columns=["column", "ndv_hll", "miss"])
+
+        def final(pdf):
+            import pandas as pd
+
+            sk = None if pdf["miss"].any() else hll_mod.merge(pdf["ndv_hll"])
+            est = None if sk is None else hll_mod.estimate(sk)
+            return pd.DataFrame(
+                {
+                    "column": [pdf["column"].iloc[0]],
+                    "ndv_est": pd.array([est], dtype="Int64"),
+                }
             )
+
+        partials = df.select("column", "n_rows", "ndv_hll").mapInPandas(
+            premerge, "column string, ndv_hll binary, miss boolean"
         )
-        sk = sk.join(F.broadcast(miss), ["column"], "left").select(
-            "column",
-            F.when(F.col("_ndv_miss") > 0, F.lit(None)).otherwise(F.col("ndv_est")).alias(
-                "ndv_est"
-            ),
+        # hash-partition the (few, small) partial rows by column FIRST so
+        # the applyInPandas sees its clustering requirement already met —
+        # an 8-task exchange instead of spark.sql.shuffle.partitions
+        # mostly-empty ones (the group count is #columns, single digits)
+        sk = (
+            partials.repartition(8, "column")
+            .groupBy("column")
+            .applyInPandas(final, "column string, ndv_est long")
         )
         out = out.join(F.broadcast(sk), ["column"], "left")
     return out.orderBy("column", "codecs")
@@ -543,17 +555,35 @@ def decode(
     if row_range is not None:
         if key_range is not None or key_ranges or key_eq is not None:
             raise ValueError("row_range cannot combine with key_range(s)/key_eq")
-        if "partitions" not in lin:
+        if "snapshots" in lin or "table" in lin:
             raise ValueError("row_range requires a single-snapshot dir (not a table)")
         start, stop = int(row_range[0]), int(row_range[1])
+        if "partitions" in lin:  # legacy snapshots embedded the list
+            plist = [
+                (int(p["part_id"]), int(p["rows"]))
+                for p in sorted(lin["partitions"], key=lambda x: x["part_id"])
+            ]
+        else:
+            # partition row counts from the chunk parquet (metadata-only
+            # scan of 3 columns; the lineage JSON stays O(#columns) by
+            # design — see encode_job.finalize)
+            first = lin["columns"][0]
+            plist = [
+                (int(r["part_id"]), int(r["n_rows"]))
+                for r in chunks_df(spark, snapshot_dir, as_of, since, filesystem)
+                .filter(F.col("column") == first)
+                .select("part_id", "n_rows")
+                .orderBy("part_id")
+                .collect()
+            ]
         row_spans = {}
         base = 0
-        for p in sorted(lin["partitions"], key=lambda x: x["part_id"]):
+        for pid, prows in plist:
             lo = max(start - base, 0)
-            hi = min(stop - base, p["rows"])
+            hi = min(stop - base, prows)
             if lo < hi:
-                row_spans[int(p["part_id"])] = (lo, hi)
-            base += p["rows"]
+                row_spans[pid] = (lo, hi)
+            base += prows
     unknown = [c for c in cols if c not in schema_map]
     if unknown:
         raise KeyError(f"columns not in snapshot schema: {unknown} (have {sorted(schema_map)})")

@@ -13,15 +13,19 @@ reference src/write/file.rs:61-75). Spark specifics:
   (not Spark's physical partition index), so a resumed run reproduces the
   identical partition → rows mapping.
 - **Checkpoint-resume**: each partition commits independently — data file
-  first (tmp + atomic rename), then a commit marker with its metrics.
-  A resumed job lists commit markers and encodes only missing partitions.
-- **Per-partition lineage**: every commit marker carries codec mix,
-  sizes, page stats and wall time; ``finalize`` merges them into the
-  snapshot-level ``_lineage.json`` sidecar.
+  first (tmp + atomic rename), then a slim commit marker (the resume
+  ledger). A resumed job lists commit markers and encodes only missing
+  partitions.
+- **Per-partition lineage**: per-chunk codec/size/wall metric rows
+  stream from the executors into the ``_metrics`` parquet sidecar (a
+  Spark write — the job's action); ``finalize`` reduces the chunk
+  parquet Spark-side to the O(#columns) ``_lineage.json`` summary.
+  Nothing O(#partitions) ever passes through the driver.
 
 Snapshot layout (Iceberg-style: immutable data files + manifest):
     <snapshot>/chunks/part-<part_id>.parquet
     <snapshot>/_commits/<part_id>.json
+    <snapshot>/_metrics/job-<uuid>/*.parquet
     <snapshot>/_lineage.json
 """
 
@@ -375,16 +379,15 @@ def _encode_partition_arrow(
     fsio.write_parquet_atomic(fs, final, out, tmp_dir=tmp_dir, compression="none")
 
     wall = time.time() - t0
+    # slim resume ledger: the marker's existence is what matters
+    # (committed_parts reads filenames only); per-chunk metric detail
+    # lives in the chunk parquet itself and the _metrics sidecar
     marker = {
         "part_id": part_id,
         "file": f"part-{part_id:06d}.parquet",
         "rows": int(n),
         "wall_s": wall,
         "cpu_s": time.process_time() - c0,
-        "chunks": [
-            {k: _jsafe(v) for k, v in r.items() if k not in ("payload", "bloom", "ndv_hll")}
-            for r in rows
-        ],
     }
     fsio.write_json_atomic(fs, fsio.join(commits_dir, f"{part_id}.json"), marker)
 
@@ -426,16 +429,6 @@ def _jstat(v, round_up: bool = False):
         import math
 
         return math.nextafter(float(v), math.inf if round_up else -math.inf)
-    return v
-
-
-def _jsafe(v):
-    if isinstance(v, (bytes, bytearray)):
-        return v.decode("utf-8", "replace")
-    if isinstance(v, (np.integer,)):
-        return int(v)
-    if hasattr(v, "isoformat"):
-        return v.isoformat()
     return v
 
 
@@ -504,13 +497,34 @@ def encode(
         return _encode_partition_arrow(tbl, cfg, snapshot_dir, columns, target_schema)
 
     metrics_df = planned.groupBy("_part_id").applyInArrow(run, CHUNK_SCHEMA)
-    # the action that executes the job; metrics come back small
-    metrics = metrics_df.toPandas()
+    # The job's one action STREAMS the per-partition metrics rows to a
+    # parquet sidecar next to the snapshot — nothing O(#partitions) ever
+    # passes through the driver (at 10^6 partitions a toPandas() here
+    # would be a multi-GB driver collect). Each attempt writes its own
+    # job-<uuid> subdir so a resumed run never collides with a crashed
+    # attempt's staging files; the sidecar is job telemetry (per-chunk
+    # codec/size/wall rows for THIS attempt's partitions) — the
+    # authoritative snapshot-wide metrics live in the chunk parquet
+    # itself, which finalize() aggregates Spark-side.
+    if cfg.filesystem is None:
+        # local path or Spark-readable URI (s3a://, hdfs://)
+        metrics_df.write.mode("overwrite").parquet(
+            os.path.join(snapshot_dir, "_metrics", f"job-{uuid.uuid4().hex[:8]}")
+        )
+    else:
+        # custom metadata-plane filesystem (e.g. a subtree or an
+        # object-store adapter): the path is only addressable through the
+        # pyarrow fs object, which Spark's JVM writers cannot use — run
+        # the job with a discard action; metrics stay in the chunk files
+        metrics_df.write.format("noop").mode("overwrite").save()
 
-    return finalize(snapshot_dir, cfg, columns, df, n_parts, time.time() - t0, len(already))
+    return finalize(
+        spark, snapshot_dir, cfg, columns, df, n_parts, time.time() - t0, len(already)
+    )
 
 
 def finalize(
+    spark: SparkSession,
     snapshot_dir: str,
     cfg: EncodeConfig,
     columns: list[str],
@@ -519,24 +533,75 @@ def finalize(
     wall_s: float,
     resumed_parts: int = 0,
 ) -> dict:
-    fs, root = fsio.resolve(snapshot_dir, cfg.filesystem)
-    commits_dir = fsio.join(root, "_commits")
-    markers = []
-    names = fsio.listdir(fs, commits_dir) if fsio.is_dir(fs, commits_dir) else []
-    for f in names:
-        if f.endswith(".json"):
-            markers.append(fsio.read_json(fs, fsio.join(commits_dir, f)))
+    """Write the snapshot-level ``_lineage.json`` sidecar.
 
+    The per-column aggregates come from ONE Spark job over the chunk
+    parquet with column pruning (``payload`` is never read — columnar
+    scan of a few metadata columns), reduced to O(#columns) rows on the
+    driver. The old implementation looped over every ``_commits/*.json``
+    marker driver-side — O(#partitions) metadata reads that would take
+    hours at 10^6 partitions. Per-partition detail rows (wall, codec mix
+    per chunk) live in the Spark-written ``_metrics`` parquet sidecar;
+    the commit markers stay as the slim resume ledger only.
+    """
+    fs, root = fsio.resolve(snapshot_dir, cfg.filesystem)
+    chunks_dir = fsio.join(root, "chunks")
+    have_chunks = fsio.is_dir(fs, chunks_dir) and any(
+        f.endswith(".parquet") for f in fsio.listdir(fs, chunks_dir)
+    )
     per_col: dict[str, dict] = {}
-    for m in markers:
-        for c in m["chunks"]:
-            agg = per_col.setdefault(
-                c["column"], {"raw_bytes": 0, "enc_bytes": 0, "n_rows": 0, "codecs": set()}
+    n_committed = 0
+    if have_chunks and cfg.filesystem is None:
+        ch = spark.read.parquet(os.path.join(snapshot_dir, "chunks")).select(
+            "part_id", "column", "codecs", "raw_bytes", "enc_bytes", "n_rows"
+        )
+        agg_rows = (
+            ch.groupBy("column")
+            .agg(
+                F.sum("raw_bytes").alias("raw_bytes"),
+                F.sum("enc_bytes").alias("enc_bytes"),
+                F.sum("n_rows").alias("n_rows"),
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list(F.split("codecs", ","))))
+                ).alias("codecs"),
+                F.countDistinct("part_id").alias("n_parts"),
             )
-            agg["raw_bytes"] += c["raw_bytes"]
-            agg["enc_bytes"] += c["enc_bytes"]
-            agg["n_rows"] += c["n_rows"]
-            agg["codecs"].update(c["codecs"].split(","))
+            .collect()
+        )
+        for r in agg_rows:
+            per_col[r["column"]] = {
+                "raw_bytes": int(r["raw_bytes"]),
+                "enc_bytes": int(r["enc_bytes"]),
+                "n_rows": int(r["n_rows"]),
+                "codecs": sorted(set(r["codecs"])),
+            }
+            n_committed = max(n_committed, int(r["n_parts"]))
+    elif have_chunks:
+        # custom metadata-plane filesystem: Spark cannot address the
+        # path, so prune to the metric columns (parquet columnar —
+        # payload bytes are never read) and reduce through pyarrow
+        tbl = pq.read_table(
+            chunks_dir,
+            filesystem=fs,
+            columns=["part_id", "column", "codecs", "raw_bytes", "enc_bytes", "n_rows"],
+        )
+        g = tbl.group_by("column").aggregate(
+            [
+                ("raw_bytes", "sum"),
+                ("enc_bytes", "sum"),
+                ("n_rows", "sum"),
+                ("part_id", "count_distinct"),
+                ("codecs", "distinct"),
+            ]
+        )
+        for r in g.to_pylist():
+            per_col[r["column"]] = {
+                "raw_bytes": int(r["raw_bytes_sum"]),
+                "enc_bytes": int(r["enc_bytes_sum"]),
+                "n_rows": int(r["n_rows_sum"]),
+                "codecs": sorted({c for s in r["codecs_distinct"] for c in s.split(",")}),
+            }
+            n_committed = max(n_committed, int(r["part_id_count_distinct"]))
 
     lineage = {
         "snapshot": snapshot_dir,
@@ -551,18 +616,17 @@ def finalize(
         "schema": {c: t for c, t in df.dtypes},
         "columns": columns,
         "n_partitions_planned": n_parts,
-        "n_partitions_committed": len(markers),
+        "n_partitions_committed": n_committed,
         "resumed_partitions_skipped": resumed_parts,
-        "rows": sum(m["rows"] for m in markers),
+        "rows": max((a["n_rows"] for a in per_col.values()), default=0),
         "raw_bytes": sum(a["raw_bytes"] for a in per_col.values()),
         "enc_bytes": sum(a["enc_bytes"] for a in per_col.values()),
         "wall_s": wall_s,
-        "per_column": {
-            k: {**v, "codecs": sorted(v["codecs"])} for k, v in sorted(per_col.items())
-        },
-        "partitions": [
-            {k: m[k] for k in ("part_id", "file", "rows", "wall_s")} for m in markers
-        ],
+        "per_column": dict(sorted(per_col.items())),
+        # per-partition detail rows (file, rows, wall_s, per-chunk codec
+        # mix) are in the _metrics parquet — O(#partitions) data stays
+        # out of this JSON by design
+        "metrics": "_metrics",
     }
     fsio.mkdirs(fs, root)
     fsio.write_json_atomic(fs, fsio.join(root, "_lineage.json"), lineage, indent=1)
