@@ -452,6 +452,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             key_range=("doc_id", 100, 350),
         )
 
+    def null_page_skip(spark, sf_dir):
+        """Page-index null counts (reference PageIndex null_count,
+        src/indexes/index.rs:74-135): a mostly-null column decoded under
+        IS NOT NULL skips all-null pages (and all-null chunks prune whole
+        partitions) — asserted via the decode pages_read/pages_skipped
+        accumulators, then the exact rows are oracle-compared."""
+        import tempfile as _tf
+
+        from parquet2_spark.operators import decode_job
+        from parquet2_spark.operators.encode_job import EncodeConfig, encode
+
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            "lang",
+            F.when(F.col("doc_id") < 20, F.col("n_chars").cast("long")).alias(
+                "sparse"
+            ),
+        )
+        snap = _tf.mkdtemp(prefix="p2s_np_")
+        encode(
+            spark,
+            docs,
+            snap,
+            EncodeConfig(target_rows=256, page_rows=64, sort_by="doc_id",
+                         key="doc_id", host_from_key=False),
+        )
+        out = decode_job.decode(
+            spark, snap, columns=["doc_id", "sparse"], not_null="sparse"
+        )
+        m = out.p2s_decode_metrics
+        out = out.cache()
+        out.count()  # action → accumulators populated
+        skipped, read = m["pages_skipped"].value, m["pages_read"].value
+        # 1-in-50 non-null over 64-row pages: most pages are all-null and
+        # MUST be physically skipped — fail loudly if the index is inert
+        if not (skipped > read):
+            raise AssertionError(
+                f"null page index inert: read={read} skipped={skipped}"
+            )
+        return out
+
     def rt_nested(spark, sf_dir):
         """Nested containers through the codec layer (reference group
         types / rep-def levels, schema_descriptor.rs:97-144): build
@@ -802,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_exact_dup_agreement": minhash_exact_dup_agreement,
         "page_index_rows": page_index_rows,
         "decode_key_range": decode_key_range,
+        "null_page_skip": null_page_skip,
         # training-data pipeline operators
         "training_pipeline": training_pipeline,
         "dedup_exact_docs": dedup_exact_docs,
@@ -962,6 +1004,10 @@ GROUP BY lang
         "decode_key_range": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE doc_id BETWEEN 100 AND 350"
+        ),
+        "null_page_skip": (
+            "SELECT doc_id, CAST(n_chars AS BIGINT) AS sparse FROM documents "
+            "WHERE doc_id < 20"
         ),
         "rt_delta_length": _sel("documents", "doc_id, text"),
         "rt_nested": """

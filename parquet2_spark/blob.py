@@ -702,6 +702,10 @@ class ChunkMeta:
     page_rows: list[int] = field(default_factory=list)
     page_mins: list[Any] = field(default_factory=list)
     page_maxs: list[Any] = field(default_factory=list)
+    # per-page null counts (the PageIndex null_count analog,
+    # reference/src/indexes/index.rs:74-135): IS NULL / IS NOT NULL
+    # predicates skip all-null / no-null pages without decoding them
+    page_nulls: list[int] = field(default_factory=list)
     min: Any = None
     max: Any = None
     ndv_hint: int = 0
@@ -853,6 +857,7 @@ def encode_chunk(
         page_rows=[m.n for m in metas],
         page_mins=[m.min for m in metas],
         page_maxs=[m.max for m in metas],
+        page_nulls=[m.null_count for m in metas],
         min=min(mins) if mins else None,
         max=max(maxs) if maxs else None,
         # pages encode with the chunk's forced codec (light stats, ndv=0);

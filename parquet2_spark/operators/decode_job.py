@@ -73,8 +73,8 @@ _CHUNKS_DDL = (
     "n_pages int, codecs string, outers string, raw_bytes long, enc_bytes long, "
     "min_bin binary, max_bin binary, min_num long, max_num long, "
     "min_dbl double, max_dbl double, ndv long, "
-    "page_rows string, page_mins string, page_maxs string, bounds_order string, "
-    "bloom binary, ndv_hll binary, payload binary"
+    "page_rows string, page_mins string, page_maxs string, page_nulls string, "
+    "bounds_order string, bloom binary, ndv_hll binary, payload binary"
 )
 
 
@@ -496,6 +496,8 @@ def decode(
     since: int | None = None,
     key_in: tuple | None = None,
     key_ranges: list | None = None,
+    not_null: str | list | None = None,
+    is_null: str | list | None = None,
 ) -> DataFrame:
     """Reassemble original rows from a snapshot — or a multi-snapshot
     table dir (``as_of`` time-travels to that snapshot id).
@@ -686,11 +688,42 @@ def decode(
             keyed = df.filter(F.col("column") == in_col).filter(might_any(F.col("bloom")))
             df = df.join(F.broadcast(keyed.select("part_id").distinct()), "part_id")
 
+    # validity predicates (IS NOT NULL / IS NULL): chunk-level skip from
+    # the per-chunk null_count, page-level skip from the page_nulls index
+    # (reference PageIndex null_count, src/indexes/index.rs:74-135),
+    # residual filters keep the result exact
+    nn_cols = [not_null] if isinstance(not_null, str) else sorted(not_null or [])
+    isnull_cols = [is_null] if isinstance(is_null, str) else sorted(is_null or [])
+    for c in nn_cols + isnull_cols:
+        if c not in schema_map:
+            raise KeyError(f"column {c} not in snapshot schema")
+    for c in nn_cols:
+        # positive evidence required: a partition survives only when the
+        # column's chunk exists with at least one non-null row — this also
+        # prunes older partitions that predate the column (all-null there)
+        keep = (
+            df.filter((F.col("column") == c) & (F.col("null_count") < F.col("n_rows")))
+            .select("part_id")
+            .distinct()
+        )
+        df = df.join(F.broadcast(keep), "part_id")
+    for c in isnull_cols:
+        # negative evidence prunes: drop partitions PROVEN null-free;
+        # partitions that predate the column keep flowing (all-null there)
+        no_null = (
+            df.filter((F.col("column") == c) & (F.col("null_count") == 0))
+            .select("part_id")
+            .distinct()
+        )
+        df = df.join(F.broadcast(no_null), "part_id", "left_anti")
+
     need = sorted(
         set(cols)
         | set(key_cols)
         | ({key_eq[0]} if key_eq is not None else set())
         | ({key_in[0]} if key_in is not None else set())
+        | set(nn_cols)
+        | set(isnull_cols)
     )
     if "snapshots" in lin and lin["columns"]:
         # table with (possibly) evolved schema: anchor on the oldest
@@ -701,6 +734,8 @@ def decode(
     meta_cols = ["part_id", "column", "payload", "page_mins", "page_maxs", "page_rows"]
     if "bounds_order" in df.columns:  # absent in pre-r3 snapshots
         meta_cols.append("bounds_order")
+    if "page_nulls" in df.columns:  # absent in pre-r4 snapshots
+        meta_cols.append("page_nulls")
     df = df.filter(F.col("column").isin(need)).select(*meta_cols)
 
     # the exact arrow types Spark expects back — Spark's Arrow exchange
@@ -763,6 +798,11 @@ def decode(
         return v.decode("utf-8", "replace") if isinstance(v, (bytes, bytearray)) else v
 
     krs = [(p[0], _page_bound(p[1]), _page_bound(p[2])) for p in preds]
+    # decode metrics (read back after an action via df.p2s_decode_metrics):
+    # pages decoded vs pages skipped by the page-level indexes — the
+    # observable evidence that pruning is physical, not just a row filter
+    acc_pages_read = spark.sparkContext.accumulator(0)
+    acc_pages_skipped = spark.sparkContext.accumulator(0)
 
     def rebuild(tbl: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -786,6 +826,35 @@ def decode(
             keep = _page_keep_for_range(mins, maxs, lo, hi, order)
             # AND across predicates: a page must survive every range
             page_keep = keep if page_keep is None else (page_keep & keep)
+
+        # page-level null index: an IS NOT NULL predicate skips all-null
+        # pages, IS NULL skips null-free pages (pre-r4 snapshots carry no
+        # page_nulls — chunk-level prune + residual stay correct)
+        if "page_nulls" in tbl.schema.names and (nn_cols or isnull_cols):
+            for c in nn_cols + isnull_cols:
+                if c not in names:
+                    continue
+                idx = names.index(c)
+                pn_raw = tbl.column("page_nulls")[idx].as_py()
+                if pn_raw is None:
+                    continue  # chunk written before the null index existed
+                pn = json.loads(pn_raw)
+                pr = json.loads(tbl.column("page_rows")[idx].as_py())
+                if c in nn_cols:
+                    keep = {i for i, (k, r) in enumerate(zip(pn, pr)) if k < r}
+                else:
+                    keep = {i for i, k in enumerate(pn) if k > 0}
+                page_keep = keep if page_keep is None else (page_keep & keep)
+
+        n_pages_part = 0
+        if names:
+            n_pages_part = len(json.loads(tbl.column("page_rows")[0].as_py()))
+        if page_keep is None:
+            acc_pages_read.add(n_pages_part)
+        else:
+            kept = len(page_keep & set(range(n_pages_part)))
+            acc_pages_read.add(kept)
+            acc_pages_skipped.add(n_pages_part - kept)
 
         span = None
         if row_spans is not None:
@@ -894,4 +963,15 @@ def decode(
             out = out.filter(F.col(pcol) >= _bound(lo))
         if hi is not None:
             out = out.filter(F.col(pcol) <= _bound(hi))
-    return out.select(*cols)
+    for c in nn_cols:
+        out = out.filter(F.col(c).isNotNull())
+    for c in isnull_cols:
+        out = out.filter(F.col(c).isNull())
+    out = out.select(*cols)
+    # decode metrics ride on the result (read after an action):
+    # {"pages_read": acc, "pages_skipped": acc} — accumulator .value
+    out.p2s_decode_metrics = {
+        "pages_read": acc_pages_read,
+        "pages_skipped": acc_pages_skipped,
+    }
+    return out

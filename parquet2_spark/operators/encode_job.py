@@ -105,6 +105,9 @@ CHUNK_PA_SCHEMA = pa.schema(
         ("page_rows", pa.string()),
         ("page_mins", pa.string()),
         ("page_maxs", pa.string()),
+        # per-page null counts (PageIndex null_count analog,
+        # reference/src/indexes/index.rs:74-135) for IS [NOT] NULL skip
+        ("page_nulls", pa.string()),
         ("bounds_order", pa.string()),
         ("bloom", pa.binary()),
         ("ndv_hll", pa.binary()),
@@ -357,6 +360,7 @@ def _encode_partition_arrow(
                 "page_rows": json.dumps(meta.page_rows),
                 "page_mins": json.dumps(jmins),
                 "page_maxs": json.dumps(jmaxs),
+                "page_nulls": json.dumps(meta.page_nulls),
                 "bounds_order": _bounds_order(jmins, jmaxs),
                 "bloom": bloom_bytes,
                 "ndv_hll": ndv_hll,
@@ -396,7 +400,7 @@ def _encode_partition_arrow(
             **{
                 k: v
                 for k, v in r.items()
-                if k not in ("payload", "bloom", "ndv_hll", "page_mins", "page_maxs")
+                if k not in ("payload", "bloom", "ndv_hll", "page_mins", "page_maxs", "page_nulls")
             },
             "wall_s": wall,
         }
