@@ -744,6 +744,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             bloom_columns=("doc_id",)))
         return decode_job.decode(spark, snap, key_eq=("doc_id", 137))
 
+    def point_lookup_bloom_tz(spark, sf_dir):
+        """Bloom point lookup + zone-map range on a TIMESTAMP key under a
+        non-UTC session timezone (America/New_York): encode-time hashes
+        and zone maps store UTC-epoch micros JVM-side, and the probe path
+        (_typed_lit / _probe_frame / _bound) converts through
+        session-tz-independent functions — this query pins the round-3
+        session-tz fix and the round-4 key_eq epoch-int fix against an
+        end-to-end oracle instead of pytest only. Runs in its own
+        newSession() so the timezone never leaks into sibling queries."""
+        import tempfile as _tf
+
+        from parquet2_spark.operators import decode_job
+        from parquet2_spark.operators.encode_job import EncodeConfig, encode
+
+        s2 = spark.newSession()
+        s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ev = _t(s2, sf_dir, "events").select("event_id", "ts", "event_type")
+        snap = _tf.mkdtemp(prefix="p2s_bloomtz_")
+        encode(s2, ev, snap,
+               EncodeConfig(target_rows=512, page_rows=128, sort_by="ts",
+                            key="event_id", host_from_key=False,
+                            bloom_columns=("ts",)))
+        # the probe instant as epoch MICROS, extracted tz-independently:
+        # JVM unix_micros for an instant-typed column; for timestamp_ntz
+        # the collected value IS the wall clock (session-independent), and
+        # the engine stores ntz as wall micros — never collect a
+        # tz-adjusted TIMESTAMP (it arrives as session-local wall time)
+        import datetime as _dt
+
+        if dict(ev.dtypes)["ts"] == "timestamp_ntz":
+            v = ev.filter(F.col("event_id") == 7).first()["ts"]
+            t7 = (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+        else:
+            t7 = ev.filter(F.col("event_id") == 7).select(
+                F.unix_micros("ts")
+            ).first()[0]
+        point = decode_job.decode(s2, snap, key_eq=("ts", int(t7)))
+        rng = decode_job.decode(
+            s2, snap, key_range=("ts", int(t7), int(t7) + 600_000_000)
+        )
+        out = point.select(F.lit("eq").alias("leg"), "event_id", "event_type")
+        return out.unionByName(
+            rng.select(F.lit("range").alias("leg"), "event_id", "event_type")
+        )
+
     def multi_point_lookup_bloom(spark, sf_dir):
         """IN-list batch fetch: one bloom pass with all probe hashes keeps
         a partition if ANY key might be present; residual isin is exact —
@@ -805,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_time_travel": table_time_travel,
         "table_schema_evolution": table_schema_evolution,
         "point_lookup_bloom": point_lookup_bloom,
+        "point_lookup_bloom_tz": point_lookup_bloom_tz,
         "multi_point_lookup_bloom": multi_point_lookup_bloom,
         "table_incremental_read": table_incremental_read,
         # codec round-trips (SURVEY §2.A parity)
@@ -950,6 +996,14 @@ GROUP BY lang
         ),
         "point_lookup_bloom": (
             f"SELECT {docs_cols} FROM documents WHERE doc_id = 137"
+        ),
+        "point_lookup_bloom_tz": (
+            "WITH t7 AS (SELECT epoch_us(ts) AS m FROM events WHERE event_id = 7) "
+            "SELECT 'eq' AS leg, event_id, event_type "
+            "FROM events, t7 WHERE epoch_us(ts) = t7.m "
+            "UNION ALL "
+            "SELECT 'range' AS leg, event_id, event_type "
+            "FROM events, t7 WHERE epoch_us(ts) BETWEEN t7.m AND t7.m + 600000000"
         ),
         "multi_point_lookup_bloom": (
             f"SELECT {docs_cols} FROM documents WHERE doc_id IN (7, 137, 256, 444)"
