@@ -103,6 +103,105 @@ def train_centroids(
     return cents
 
 
+def train_centroids_distributed(
+    data: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_buckets: int = 16,
+    iters: int = 5,
+    seed: int = 777,
+) -> np.ndarray:
+    """Distributed Lloyd's k-means for the IVF coarse quantizer — no
+    driver-side sample cap: every vector participates, at any scale.
+
+    Each iteration is one pass: ``mapInPandas`` reduces a whole input
+    partition to at most ``n_buckets`` partial rows (assignment counts +
+    per-cluster vector sums — O(k·dim) per partition, never the vectors
+    themselves), ``applyInPandas`` keyed by cluster folds partials to the
+    new centroid, and only k tiny centroids return to the driver to seed
+    the next round's broadcast closure. Deterministic for a fixed input
+    layout: seeded init (smallest xxhash64(id) rows), fixed iteration
+    count, and partials summed in partition-id order so float addition
+    order never depends on shuffle arrival."""
+    import pandas as _pd
+
+    # seeded deterministic init: the k rows with smallest xxhash64(id)
+    # (a pseudo-random draw independent of partitioning), padded with
+    # unit random projections when the input has fewer rows than buckets
+    rows = (
+        data.select(F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n_buckets)
+        .collect()
+    )
+    X0 = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
+    X0 = X0 / np.maximum(np.linalg.norm(X0, axis=1, keepdims=True), 1e-12)
+    cents = X0
+    if len(cents) < n_buckets:
+        cents = np.vstack(
+            [cents, _coarse_centroids(X0.shape[1], n_buckets - len(cents), seed)]
+        )
+    src = data.select(F.col(vec_col).alias("_v"))
+
+    for _ in range(iters):
+        C = cents  # broadcast into this round's closures
+
+        def partials(pdfs, C=C):
+            from pyspark import TaskContext
+
+            acc_cnt = np.zeros(len(C), dtype=np.int64)
+            acc_sum = np.zeros_like(C)
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                mat = mat / np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+                )
+                a = (mat @ C.T).argmax(axis=1)
+                np.add.at(acc_cnt, a, 1)
+                np.add.at(acc_sum, a, mat)
+            pid = TaskContext.get().partitionId()
+            nz = np.flatnonzero(acc_cnt)
+            yield _pd.DataFrame(
+                {
+                    "pid": np.full(len(nz), pid, dtype=np.int32),
+                    "cluster": nz.astype(np.int32),
+                    "cnt": acc_cnt[nz],
+                    "vsum": [acc_sum[j].tolist() for j in nz],
+                }
+            )
+
+        def reduce_cluster(pdf):
+            pdf = pdf.sort_values("pid")  # deterministic fp addition order
+            vs = np.sum(np.stack(pdf["vsum"].to_numpy()), axis=0)
+            return _pd.DataFrame(
+                {
+                    "cluster": [int(pdf["cluster"].iloc[0])],
+                    "cnt": [int(pdf["cnt"].sum())],
+                    "vsum": [vs.tolist()],
+                }
+            )
+
+        pt = src.mapInPandas(
+            partials, "pid int, cluster int, cnt long, vsum array<double>"
+        )
+        got = (
+            pt.groupBy("cluster")
+            .applyInPandas(reduce_cluster, "cluster int, cnt long, vsum array<double>")
+            .collect()
+        )
+        new = cents.copy()  # empty clusters keep their previous centroid
+        for r in got:
+            if r["cnt"]:
+                v = np.asarray(r["vsum"], dtype=np.float64) / r["cnt"]
+                nrm = np.linalg.norm(v)
+                if nrm > 1e-12:
+                    new[r["cluster"]] = v / nrm
+        cents = new
+    return cents
+
+
 def ivf_topk(
     data: DataFrame,
     queries: DataFrame,
@@ -115,13 +214,13 @@ def ivf_topk(
     train_iters: int = 5,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k: assign every vector to its nearest
-    centroid (k-means-trained on a seeded sample by default;
-    ``train_iters=0`` falls back to seeded random projections); a query
-    scans only its ``n_probe`` nearest buckets. Returns the same schema
-    as brute_force_topk."""
+    centroid (distributed full-pass k-means by default — no driver-side
+    sample cap; ``train_iters=0`` falls back to seeded random
+    projections); a query scans only its ``n_probe`` nearest buckets.
+    Returns the same schema as brute_force_topk."""
     dim = data.select(F.size(vec_col).alias("d")).first()["d"]
     if train_iters > 0:
-        cents = train_centroids(
+        cents = train_centroids_distributed(
             data, vec_col=vec_col, id_col=id_col, n_buckets=n_buckets, iters=train_iters
         )
     else:

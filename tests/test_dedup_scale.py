@@ -150,6 +150,45 @@ class TestTrainedIvf:
         c2 = similarity.train_centroids(clustered, n_buckets=8, iters=3)
         assert np.array_equal(c1, c2)
 
+    def test_distributed_train_deterministic(self, spark, clustered):
+        c1 = similarity.train_centroids_distributed(clustered, n_buckets=8, iters=3)
+        c2 = similarity.train_centroids_distributed(clustered, n_buckets=8, iters=3)
+        assert np.array_equal(c1, c2)
+
+    def test_distributed_train_beyond_old_sample_cap(self, spark):
+        """10x the old 4096-row driver sample cap (40960 vectors): the
+        distributed trainer sees EVERY vector (no cap to hit), and
+        partial-probe recall on a cleanly clustered set stays >= the
+        0.9 bar the capped trainer met at small scale."""
+        rng = np.random.default_rng(90210)
+        centers = rng.standard_normal((8, 24)) * 4
+        rows = []
+        vid = 0
+        for c in range(8):
+            for _ in range(5120):  # 8 x 5120 = 40960 vectors
+                v = centers[c] + rng.standard_normal(24) * 0.3
+                rows.append((vid, v.tolist()))
+                vid += 1
+        big = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).repartition(16).cache()
+        big.count()
+        q = big.filter(F.col("vec_id") % 5120 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {
+            (r["query_id"], r["vec_id"])
+            for r in similarity.brute_force_topk(big, q, k=5).collect()
+        }
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in similarity.ivf_topk(
+                big, q, k=5, n_buckets=8, n_probe=1, train_iters=5
+            ).collect()
+        }
+        assert len(got & exact) / len(exact) >= 0.9
+        big.unpersist()
+
 
 class TestSimhashNearDup:
     def test_finds_near_dups_and_bounds_hamming(self, spark):
