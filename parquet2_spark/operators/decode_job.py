@@ -868,10 +868,13 @@ def decode(
                 # page offset index selects overlapping pages; residual
                 # slice applied per page — never decodes outside the span
                 arrays[name] = blob.decode_chunk_rows(
-                    payload, span[0], span[1] - span[0], field_filter=ff
+                    payload, span[0], span[1] - span[0], field_filter=ff,
+                    combine=False,
                 )
             elif page_keep is None:
-                arrays[name] = blob.decode_chunk(payload, field_filter=ff)
+                arrays[name] = blob.decode_chunk(
+                    payload, field_filter=ff, combine=False
+                )
             else:
                 parts = [
                     a
@@ -883,7 +886,7 @@ def decode(
                 if not parts:
                     arrays[name] = None
                 else:
-                    arrays[name] = blob.concat_pages(parts)
+                    arrays[name] = blob.chunk_pages(parts)
         if any(a is None for a in arrays.values()):
             # all pages pruned → typed 0-row table
             arrays = {c: pa.array([], type=expected_pa[c]) for c in need}
@@ -895,8 +898,10 @@ def decode(
                 # evolution): this older partition reads it as all-null
                 arrays[c] = pa.nulls(n, expected_pa[c])
             a = arrays[c]
-            if isinstance(a, pa.ChunkedArray):
-                a = a.combine_chunks()
+            # pages stay CHUNKED end-to-end: pa.table accepts per-column
+            # chunk layouts and the Arrow IPC exchange back to Spark
+            # slices record batches at chunk boundaries zero-copy — the
+            # old combine_chunks() here re-copied every decoded byte
             if len(a) != n:
                 raise ValueError(f"column {c} row mismatch {len(a)} != {n}")
             if not a.type.equals(expected_pa[c]):

@@ -216,3 +216,26 @@ def test_byte_stream_split_selected_for_floats():
     assert meta.codec in ("byte_stream_split", "plain")
     out, _ = blob.decode_page(page)
     assert out.equals(arr)  # bitwise float equality via arrow equals
+
+
+def test_decode_chunk_chunked_zero_copy_assembly():
+    """combine=False returns the pages as ChunkedArray chunks with values
+    identical to the flattened decode (the zero-copy decode path used by
+    the decode job's Arrow exchange)."""
+    arr = pa.array([f"v{i:06d}" * 3 for i in range(1000)])
+    pages = [arr.slice(i, 250) for i in range(0, 1000, 250)]
+    buf, meta = blob.encode_chunk(pages)
+    assert meta.n_pages == 4
+    flat = blob.decode_chunk(buf)
+    chunked = blob.decode_chunk(buf, combine=False)
+    assert isinstance(chunked, pa.ChunkedArray)
+    assert chunked.num_chunks == 4
+    assert chunked.combine_chunks().equals(flat)
+    # row-interval variant agrees too
+    part = blob.decode_chunk_rows(buf, 100, 500, combine=False)
+    assert part.combine_chunks().equals(flat.slice(100, 500)) or part.equals(
+        flat.slice(100, 500)
+    )
+    # single page stays a plain Array (no pointless wrapper)
+    one, _ = blob.encode_chunk([arr])
+    assert isinstance(blob.decode_chunk(one, combine=False), pa.Array)
