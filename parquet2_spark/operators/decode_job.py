@@ -229,20 +229,70 @@ def stats(spark: SparkSession, snapshot_dir: str) -> DataFrame:
                 }
             )
 
-        partials = df.select("column", "n_rows", "ndv_hll").mapInPandas(
-            premerge, "column string, ndv_hll binary, miss boolean"
-        )
-        # hash-partition the (few, small) partial rows by column FIRST so
-        # the applyInPandas sees its clustering requirement already met —
-        # an 8-task exchange instead of spark.sql.shuffle.partitions
-        # mostly-empty ones (the group count is #columns, single digits)
-        sk = (
-            partials.repartition(8, "column")
-            .groupBy("column")
-            .applyInPandas(final, "column string, ndv_est long")
-        )
+        def final_raw(pdf):
+            import pandas as pd
+
+            miss = bool(((pdf["n_rows"] > 0) & pdf["ndv_hll"].isna()).any())
+            sk = None if miss else hll_mod.merge(pdf["ndv_hll"])
+            est = None if sk is None else hll_mod.estimate(sk)
+            return pd.DataFrame(
+                {
+                    "column": [pdf["column"].iloc[0]],
+                    "ndv_est": pd.array([est], dtype="Int64"),
+                }
+            )
+
+        # stage-count is adaptive on chunk COUNT (known from lineage
+        # metadata, no extra job): ≤2000 chunks per column is ≤128 MB of
+        # dense sketches per final task, so the per-batch premerge stage
+        # is pure overhead and raw chunk rows go straight to the grouped
+        # merge. Above that, the two-stage shape bounds what any single
+        # task receives (a million-chunk column never ships a million
+        # 64 KB sketches to one task).
+        n_committed = _committed_partition_count(snapshot_dir)
+        if n_committed is not None and 0 < n_committed <= 2000:
+            sk = (
+                df.select("column", "n_rows", "ndv_hll")
+                .repartition(8, "column")
+                .groupBy("column")
+                .applyInPandas(final_raw, "column string, ndv_est long")
+            )
+        else:
+            partials = df.select("column", "n_rows", "ndv_hll").mapInPandas(
+                premerge, "column string, ndv_hll binary, miss boolean"
+            )
+            # hash-partition the (few, small) partial rows by column so
+            # the applyInPandas sees its clustering requirement already
+            # met — an 8-task exchange instead of
+            # spark.sql.shuffle.partitions mostly-empty ones
+            sk = (
+                partials.repartition(8, "column")
+                .groupBy("column")
+                .applyInPandas(final, "column string, ndv_est long")
+            )
         out = out.join(F.broadcast(sk), ["column"], "left")
     return out.orderBy("column", "codecs")
+
+
+def _committed_partition_count(snapshot_dir: str, filesystem=None) -> int | None:
+    """Total committed partitions across the snapshot dir (or all of a
+    table's snapshots) from lineage metadata only — None when any
+    lineage predates the field or is unreadable."""
+    from . import table as table_mod
+
+    try:
+        if table_mod.is_table(snapshot_dir, filesystem):
+            total = 0
+            for _, sdir in table_mod.snapshot_dirs(snapshot_dir, filesystem=filesystem):
+                n = lineage(sdir, filesystem=filesystem).get("n_partitions_committed")
+                if n is None:
+                    return None
+                total += int(n)
+            return total
+        n = lineage(snapshot_dir, filesystem=filesystem).get("n_partitions_committed")
+        return None if n is None else int(n)
+    except Exception:
+        return None
 
 
 def _zone_bound(v):

@@ -309,3 +309,20 @@ def webpages_df(spark, n: int, seed: int = SEED, partitions: int | None = None):
                 yield generate_batch(rb.column("id").to_numpy().astype(np.uint64), seed)
 
     return spark.range(0, n, 1, parts).mapInArrow(gen, SCHEMA)
+
+
+def webpages_range_df(spark, lo: int, hi: int, seed: int = SEED, partitions: int | None = None):
+    """Pages for ids [lo, hi) — disjoint segments of ONE synthetic crawl
+    universe (same seed ⇒ same host/url space, disjoint ids ⇒ disjoint
+    pages): the shape of periodic crawl deltas appended to a table. Using
+    different SEEDS per batch instead would model unrelated corpora —
+    their mixed host universes measurably hurt compaction's per-chunk
+    dictionary/FSST training (0.363 vs 0.325 at the 10M soak)."""
+    parts = partitions or max(2, spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for rb in batches:
+            if rb.num_rows:
+                yield generate_batch(rb.column("id").to_numpy().astype(np.uint64), seed)
+
+    return spark.range(lo, hi, 1, parts).mapInArrow(gen, SCHEMA)

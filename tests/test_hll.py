@@ -139,6 +139,24 @@ class TestMixedCoverage:
         rows = {r["column"]: r for r in decode_job.stats(spark, tdir).collect()}
         assert abs(rows["k"]["ndv_est"] - 750) / 750 < 0.02
 
+    def test_two_stage_merge_path_agrees(self, spark, tmp_path, monkeypatch):
+        """The big-table shape (per-batch premerge then grouped final)
+        returns the same estimates as the small-table single-stage path —
+        forced via the partition-count gate, since no unit test writes
+        2000+ real partitions."""
+        snap = str(tmp_path / "s2s")
+        df = spark.range(2000).select(
+            F.col("id").alias("k"), (F.col("id") % 37).cast("string").alias("u"))
+        encode(spark, df, snap, EncodeConfig(target_rows=500, key="k", sort_by="k",
+                                             host_from_key=False))
+        small = {r["column"]: r["ndv_est"]
+                 for r in decode_job.stats(spark, snap).collect()}
+        monkeypatch.setattr(decode_job, "_committed_partition_count",
+                            lambda *a, **k: None)  # force two-stage
+        big = {r["column"]: r["ndv_est"]
+               for r in decode_job.stats(spark, snap).collect()}
+        assert small == big and big["u"] is not None
+
 
 class TestSparseFormat:
     def test_low_cardinality_sketch_is_tiny(self):
