@@ -501,6 +501,36 @@ def encode(
         return _encode_partition_arrow(tbl, cfg, snapshot_dir, columns, target_schema)
 
     metrics_df = planned.groupBy("_part_id").applyInArrow(run, CHUNK_SCHEMA)
+
+    # When THIS job's metric rows provably cover the whole snapshot
+    # (fresh dir, nothing resumed), the lineage aggregates ride the job's
+    # own action as observed metrics — per-column conditional aggregates
+    # reduced map-side, O(#columns) scalars to the driver, zero extra
+    # jobs. A resumed or dirty snapshot falls back to finalize()'s scan
+    # of the chunk parquet (the authoritative store).
+    fs0, root0 = fsio.resolve(snapshot_dir, cfg.filesystem)
+    chunks0 = fsio.join(root0, "chunks")
+    fresh = not already and not (
+        fsio.is_dir(fs0, chunks0)
+        and any(f.endswith(".parquet") for f in fsio.listdir(fs0, chunks0))
+    )
+    obs = None
+    if fresh:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        aggs = []
+        for i, c in enumerate(columns):
+            cond = F.col("column") == c
+            aggs += [
+                F.sum(F.when(cond, F.col("raw_bytes"))).alias(f"raw_{i}"),
+                F.sum(F.when(cond, F.col("enc_bytes"))).alias(f"enc_{i}"),
+                F.sum(F.when(cond, F.col("n_rows"))).alias(f"rows_{i}"),
+                F.collect_set(F.when(cond, F.col("codecs"))).alias(f"codecs_{i}"),
+            ]
+        aggs.append(F.size(F.collect_set("part_id")).alias("n_parts"))
+        metrics_df = metrics_df.observe(obs, *aggs)
+
     # The job's one action STREAMS the per-partition metrics rows to a
     # parquet sidecar next to the snapshot — nothing O(#partitions) ever
     # passes through the driver (at 10^6 partitions a toPandas() here
@@ -509,7 +539,7 @@ def encode(
     # attempt's staging files; the sidecar is job telemetry (per-chunk
     # codec/size/wall rows for THIS attempt's partitions) — the
     # authoritative snapshot-wide metrics live in the chunk parquet
-    # itself, which finalize() aggregates Spark-side.
+    # itself.
     if cfg.filesystem is None:
         # local path or Spark-readable URI (s3a://, hdfs://)
         metrics_df.write.mode("overwrite").parquet(
@@ -522,8 +552,26 @@ def encode(
         # the job with a discard action; metrics stay in the chunk files
         metrics_df.write.format("noop").mode("overwrite").save()
 
+    precomputed = None
+    if obs is not None:
+        vals = obs.get
+        per_col = {}
+        for i, c in enumerate(columns):
+            if vals.get(f"rows_{i}") is None and not vals.get(f"codecs_{i}"):
+                continue  # column produced no chunks (empty input)
+            per_col[c] = {
+                "raw_bytes": int(vals[f"raw_{i}"] or 0),
+                "enc_bytes": int(vals[f"enc_{i}"] or 0),
+                "n_rows": int(vals[f"rows_{i}"] or 0),
+                "codecs": sorted(
+                    {x for s in vals[f"codecs_{i}"] for x in s.split(",")}
+                ),
+            }
+        precomputed = (per_col, int(vals["n_parts"]))
+
     return finalize(
-        spark, snapshot_dir, cfg, columns, df, n_parts, time.time() - t0, len(already)
+        spark, snapshot_dir, cfg, columns, df, n_parts, time.time() - t0,
+        len(already), precomputed=precomputed,
     )
 
 
@@ -536,17 +584,20 @@ def finalize(
     n_parts: int,
     wall_s: float,
     resumed_parts: int = 0,
+    precomputed: tuple | None = None,
 ) -> dict:
     """Write the snapshot-level ``_lineage.json`` sidecar.
 
     The per-column aggregates come from ONE Spark job over the chunk
     parquet with column pruning (``payload`` is never read — columnar
     scan of a few metadata columns), reduced to O(#columns) rows on the
-    driver. The old implementation looped over every ``_commits/*.json``
-    marker driver-side — O(#partitions) metadata reads that would take
-    hours at 10^6 partitions. Per-partition detail rows (wall, codec mix
-    per chunk) live in the Spark-written ``_metrics`` parquet sidecar;
-    the commit markers stay as the slim resume ledger only.
+    driver — or, for a fresh encode, arrive ``precomputed`` as observed
+    metrics of the encode job itself (zero extra jobs). The old
+    implementation looped over every ``_commits/*.json`` marker
+    driver-side — O(#partitions) metadata reads that would take hours at
+    10^6 partitions. Per-partition detail rows (wall, codec mix per
+    chunk) live in the Spark-written ``_metrics`` parquet sidecar; the
+    commit markers stay as the slim resume ledger only.
     """
     fs, root = fsio.resolve(snapshot_dir, cfg.filesystem)
     chunks_dir = fsio.join(root, "chunks")
@@ -555,7 +606,9 @@ def finalize(
     )
     per_col: dict[str, dict] = {}
     n_committed = 0
-    if have_chunks and cfg.filesystem is None:
+    if precomputed is not None:
+        per_col, n_committed = precomputed
+    elif have_chunks and cfg.filesystem is None:
         ch = spark.read.parquet(os.path.join(snapshot_dir, "chunks")).select(
             "part_id", "column", "codecs", "raw_bytes", "enc_bytes", "n_rows"
         )
