@@ -78,6 +78,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="bloom-assisted IN-list fetch (exact)")
     sp.add_argument("--since", type=int, default=None,
                     help="incremental read: only snapshots > this id (table dirs)")
+    sp.add_argument("--not-null", default=None, metavar="COL[,COL...]",
+                    help="IS NOT NULL predicate: all-null chunks prune whole "
+                         "partitions, all-null pages skip via the page_nulls index")
+    sp.add_argument("--is-null", default=None, metavar="COL[,COL...]",
+                    help="IS NULL predicate: null-free chunks/pages are skipped")
     sp = sub.add_parser("validate")
     sp.add_argument("input")
     sp.add_argument("snapshot")
@@ -199,6 +204,8 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.snapshot, columns=cols, key_range=key_range,
             row_range=row_range, as_of=args.as_of, key_in=key_in,
             since=args.since,
+            not_null=args.not_null.split(",") if args.not_null else None,
+            is_null=args.is_null.split(",") if args.is_null else None,
         ).write.mode("overwrite").parquet(args.output)
         print(f"wrote {args.output}")
         return 0

@@ -173,3 +173,23 @@ def test_cli_vacuum(spark, tmp_path, monkeypatch):
     rc = main(["vacuum", tdir, "--older-than", "50"])
     assert rc == 0
     assert not fsio.is_dir(fs, fsio.join(root, orphan))
+
+
+def test_cli_decode_null_predicates(spark, tmp_path_factory):
+    from parquet2_spark import cli
+    from parquet2_spark.operators.encode_job import EncodeConfig, encode
+
+    snap = str(tmp_path_factory.mktemp("cli_nn"))
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 40, F.col("id")).alias("y"),
+    )
+    encode(spark, df, snap, EncodeConfig(target_rows=200, page_rows=50,
+                                         sort_by="k", key="k", host_from_key=False))
+    out1 = str(tmp_path_factory.mktemp("cli_nn_o1")) + "/o"
+    assert cli.main(["decode", snap, out1, "--not-null", "y"]) == 0
+    got = spark.read.parquet(out1)
+    assert got.count() == 40 and got.filter(F.col("y").isNull()).count() == 0
+    out2 = str(tmp_path_factory.mktemp("cli_nn_o2")) + "/o"
+    assert cli.main(["decode", snap, out2, "--is-null", "y"]) == 0
+    assert spark.read.parquet(out2).count() == 360
