@@ -452,6 +452,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             key_range=("doc_id", 100, 350),
         )
 
+    def table_quantiles(spark, sf_dir):
+        """Mergeable per-chunk quantile grids (beyond the reference's
+        min/max statistics, statistics/mod.rs:20-26): table-level
+        quantiles from ~1 KB of metadata per chunk, the input to
+        repartitionByRange planning at 10^12 rows. The query encodes
+        lineitem, estimates 5 quantiles per column from the grids only,
+        then computes each estimate's EXACT CDF position over the data —
+        the oracle pins every rank within 2% of its target, so a
+        skewed/broken merge fails the gate (same pattern as the HLL NDV
+        query)."""
+        import tempfile as _tf
+
+        from parquet2_spark.operators import decode_job
+        from parquet2_spark.operators.encode_job import EncodeConfig, encode
+
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_quantity"
+        )
+        snap = _tf.mkdtemp(prefix="p2s_q_")
+        encode(spark, li, snap,
+               EncodeConfig(target_rows=4096, page_rows=1024,
+                            sort_by="l_orderkey", key="l_orderkey",
+                            host_from_key=False))
+        qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+        n = li.count()
+        rows = []
+        for col in ("l_extendedprice", "l_quantity"):
+            est = decode_job.quantiles(spark, snap, col, qs)
+            # tie-aware acceptance: a heavily tied column's CDF jumps at
+            # single values, so the estimate is correct when its rank
+            # INTERVAL [count(< est), count(<= est)] intersects the 2%
+            # band around the target — the standard criterion for
+            # quantiles of discrete data
+            aggs = []
+            for i, e in enumerate(est):
+                aggs.append(F.sum((F.col(col) < float(e)).cast("long")).alias(f"lt{i}"))
+                aggs.append(F.sum((F.col(col) <= float(e)).cast("long")).alias(f"le{i}"))
+            got = li.agg(*aggs).first()
+            for i, q in enumerate(qs):
+                lo, hi = got[f"lt{i}"] / n, got[f"le{i}"] / n
+                ok = (lo <= q + 0.02) and (hi >= q - 0.02)
+                rows.append((col, int(q * 100), int(ok)))
+        return spark.createDataFrame(rows, "col_name string, q int, within_tol long")
+
     def null_page_skip(spark, sf_dir):
         """Page-index null counts (reference PageIndex null_count,
         src/indexes/index.rs:74-135): a mostly-null column decoded under
@@ -890,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_index_rows": page_index_rows,
         "decode_key_range": decode_key_range,
         "null_page_skip": null_page_skip,
+        "table_quantiles": table_quantiles,
         # training-data pipeline operators
         "training_pipeline": training_pipeline,
         "dedup_exact_docs": dedup_exact_docs,
@@ -1062,6 +1107,11 @@ GROUP BY lang
         "null_page_skip": (
             "SELECT doc_id, CAST(n_chars AS BIGINT) AS sparse FROM documents "
             "WHERE doc_id < 20"
+        ),
+        "table_quantiles": (
+            "SELECT c.col_name, u.q, CAST(1 AS BIGINT) AS within_tol "
+            "FROM (VALUES ('l_extendedprice'), ('l_quantity')) c(col_name), "
+            "(VALUES (10), (25), (50), (75), (90)) u(q)"
         ),
         "rt_delta_length": _sel("documents", "doc_id, text"),
         "rt_nested": """

@@ -74,7 +74,7 @@ _CHUNKS_DDL = (
     "min_bin binary, max_bin binary, min_num long, max_num long, "
     "min_dbl double, max_dbl double, ndv long, "
     "page_rows string, page_mins string, page_maxs string, page_nulls string, "
-    "bounds_order string, bloom binary, ndv_hll binary, payload binary"
+    "qgrid string, bounds_order string, bloom binary, ndv_hll binary, payload binary"
 )
 
 
@@ -272,6 +272,106 @@ def stats(spark: SparkSession, snapshot_dir: str) -> DataFrame:
             )
         out = out.join(F.broadcast(sk), ["column"], "left")
     return out.orderBy("column", "codecs")
+
+
+def quantiles(
+    spark: SparkSession,
+    snapshot_dir: str,
+    column: str,
+    qs: list[float],
+    filesystem=None,
+) -> list[float]:
+    """Table-level quantile estimates for a numeric/temporal column from
+    the per-chunk quantile grids (zone-map units: micros for timestamps,
+    days for dates) — no data scan, metadata only. Rank error ≤ N/K
+    (K=128 cells/chunk, ≤0.8%); see plans/quantile.py.
+
+    Scale shape mirrors the HLL NDV merge: small tables (≤2000 chunks by
+    lineage metadata) collect their ~1 KB grids directly; larger ones run
+    a per-batch mapInPandas partial merge so the driver receives one
+    bounded summary per scan partition, never a million grids.
+    Raises when any non-empty chunk lacks a grid (pre-grid snapshot or
+    grids disabled for one append) — a partial merge would silently skew
+    the ranks."""
+    from ..plans import quantile as q_mod
+
+    ddl = lineage(snapshot_dir, filesystem=filesystem)["schema"].get(column)
+    if ddl is None:
+        raise KeyError(f"column {column} not in snapshot schema")
+    if not (
+        ddl in ("tinyint", "smallint", "int", "bigint", "float", "double", "date")
+        or ddl.startswith("timestamp")
+    ):
+        raise ValueError(
+            f"column {column} ({ddl}) carries no quantile grids "
+            f"(numeric/temporal columns only)"
+        )
+    df = chunks_df(spark, snapshot_dir, filesystem=filesystem).filter(
+        F.col("column") == column
+    )
+    if "qgrid" not in df.columns:
+        raise ValueError(f"snapshot {snapshot_dir} predates quantile grids")
+    sel = df.select(
+        "qgrid", (F.col("n_rows") - F.coalesce(F.col("null_count"), F.lit(0))).alias("w")
+    )
+    n_committed = _committed_partition_count(snapshot_dir, filesystem)
+    if n_committed is not None and 0 < n_committed <= 2000:
+        rows = sel.collect()
+        grids, weights = [], []
+        for r in rows:
+            if r["w"] and r["qgrid"] is None:
+                raise ValueError(
+                    f"column {column}: chunk without a quantile grid — "
+                    f"re-encode with quantile_grid=True for exact coverage"
+                )
+            if r["w"]:
+                grids.append(json.loads(r["qgrid"]))
+                weights.append(int(r["w"]))
+        return q_mod.estimate(grids, weights, qs)
+
+    def partial(pdfs):
+        for pdf in pdfs:
+            live = pdf[pdf["w"] > 0]
+            miss = bool(live["qgrid"].isna().any())
+            if miss:
+                yield pd.DataFrame(
+                    {"summary": [None], "total": [0], "miss": [True]}
+                )
+                continue
+            grids = [json.loads(g) for g in live["qgrid"]]
+            g, total = q_mod.merge_to_summary(grids, list(live["w"]))
+            yield pd.DataFrame(
+                {"summary": [json.dumps(g)], "total": [total], "miss": [False]}
+            )
+
+    parts = sel.mapInPandas(partial, "summary string, total long, miss boolean").collect()
+    if any(r["miss"] for r in parts):
+        raise ValueError(
+            f"column {column}: chunk without a quantile grid — re-encode "
+            f"with quantile_grid=True for exact coverage"
+        )
+    grids = [json.loads(r["summary"]) for r in parts if r["total"]]
+    weights = [int(r["total"]) for r in parts if r["total"]]
+    return q_mod.estimate(grids, weights, qs)
+
+
+def range_bounds(
+    spark: SparkSession,
+    snapshot_dir: str,
+    column: str,
+    n_parts: int,
+    filesystem=None,
+) -> list[float]:
+    """``n_parts - 1`` range split points for ``repartitionByRange``-style
+    layout of the NEXT append, derived from the table's quantile grids —
+    the 100 TB alternative to Spark's RangePartitioner sampling scan
+    (which would read the new batch twice). Combine with
+    ``EncodeConfig(shuffle=False)`` after a ``repartitionByRange`` on
+    these bounds for disjoint per-partition zone maps."""
+    if n_parts < 2:
+        return []
+    qs = [i / n_parts for i in range(1, n_parts)]
+    return quantiles(spark, snapshot_dir, column, qs, filesystem)
 
 
 def _committed_partition_count(snapshot_dir: str, filesystem=None) -> int | None:

@@ -108,6 +108,10 @@ CHUNK_PA_SCHEMA = pa.schema(
         # per-page null counts (PageIndex null_count analog,
         # reference/src/indexes/index.rs:74-135) for IS [NOT] NULL skip
         ("page_nulls", pa.string()),
+        # mergeable K-cell quantile grid (numeric/temporal columns, zone-map
+        # units) — table-level quantiles / repartitionByRange planning
+        # without a sampling scan (plans/quantile.py)
+        ("qgrid", pa.string()),
         ("bounds_order", pa.string()),
         ("bloom", pa.binary()),
         ("ndv_hll", pa.binary()),
@@ -141,6 +145,10 @@ class EncodeConfig:
     # hash column when both are on); the sketch adds 8 B/row/column to
     # the shuffle and ~ms of register scatter per chunk.
     ndv_sketch: bool = True
+    # per-chunk K-cell quantile grids (numeric/temporal columns; ~1 KB of
+    # metadata per chunk) — table-level quantiles and repartitionByRange
+    # split points without a sampling scan (plans/quantile.py)
+    quantile_grid: bool = True
     # pyarrow.fs.FileSystem for the metadata plane (markers/sidecars/chunk
     # writes); None → resolved from the path (URI scheme or local).
     # pyarrow filesystems pickle, so this rides into executor closures.
@@ -202,6 +210,41 @@ def plan_partitions(df: DataFrame, cfg: EncodeConfig) -> tuple[DataFrame, int]:
         .drop("_salt_k", "_salt", "_host")
     )
     return salted, n_parts
+
+
+def _chunk_qgrid(arr: pa.Array, cfg: "EncodeConfig") -> str | None:
+    """JSON quantile grid for this chunk's column, or None when disabled
+    or non-numeric (see plans/quantile.py)."""
+    if not cfg.quantile_grid:
+        return None
+    v = _qgrid_values(arr)
+    if v is None:
+        return None
+    from ..plans import quantile as q_mod
+
+    g = q_mod.grid_from_values(v)
+    return None if g is None else json.dumps(g)
+
+
+def _qgrid_values(arr: pa.Array) -> np.ndarray | None:
+    """Non-null values of a numeric/temporal column in zone-map units
+    (micros/days — the same convention as min_num/max_num) for the
+    per-chunk quantile grid; None for non-numeric types."""
+    import pyarrow.types as pt
+
+    t = arr.type
+    if not (
+        pt.is_integer(t) or pt.is_floating(t) or pt.is_timestamp(t) or pt.is_date(t)
+    ):
+        return None
+    a = arr.drop_null() if arr.null_count else arr
+    if len(a) == 0:
+        return None
+    if pt.is_timestamp(t):
+        return a.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    if pt.is_date(t):
+        return a.cast(pa.int32()).to_numpy(zero_copy_only=False)
+    return a.to_numpy(zero_copy_only=False)
 
 
 def _stat_cols(meta: blob.ChunkMeta):
@@ -361,6 +404,7 @@ def _encode_partition_arrow(
                 "page_mins": json.dumps(jmins),
                 "page_maxs": json.dumps(jmaxs),
                 "page_nulls": json.dumps(meta.page_nulls),
+                "qgrid": _chunk_qgrid(arr, cfg),
                 "bounds_order": _bounds_order(jmins, jmaxs),
                 "bloom": bloom_bytes,
                 "ndv_hll": ndv_hll,
@@ -400,7 +444,7 @@ def _encode_partition_arrow(
             **{
                 k: v
                 for k, v in r.items()
-                if k not in ("payload", "bloom", "ndv_hll", "page_mins", "page_maxs", "page_nulls")
+                if k not in ("payload", "bloom", "ndv_hll", "page_mins", "page_maxs", "page_nulls", "qgrid")
             },
             "wall_s": wall,
         }

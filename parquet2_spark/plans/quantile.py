@@ -1,0 +1,102 @@
+"""Mergeable per-chunk quantile grids for table-level quantiles.
+
+The reference's statistics carry min/max only
+(reference/src/statistics/mod.rs:20-26); planning a 10^12-document
+encode needs more: ``repartitionByRange`` split points, skew detection,
+and salting thresholds all want table-level quantiles of the key column
+WITHOUT a sampling scan. Each chunk stores a K-cell quantile grid —
+K+1 order statistics at ranks ``i*n/K`` of the chunk's non-null values,
+in zone-map units (micros/days for temporal) — ~1 KB of metadata per
+chunk. Grids merge by weighted rank interpolation: grid point ``i`` of a
+chunk with ``n`` values testifies that exactly ``i*n/K`` values lie at
+or below it, so the merged rank error is bounded by ``max_i(n_i)/K``
+per chunk, i.e. ≤ ``N/K`` overall (≤0.8% at the default K=128).
+
+Merging is associative and deterministic (pure order statistics, no
+random bits), so the same two-stage Spark shape as the HLL NDV merge
+applies: per-batch partial summaries bounded to ``PARTIAL_POINTS``
+points, then one grouped final — a million-chunk column never ships a
+million grids to one task.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+K = 128  # cells per chunk grid (K+1 stored points)
+PARTIAL_POINTS = 1025  # bound on intermediate summary size
+
+
+def grid_from_values(v: np.ndarray, k: int = K) -> list | None:
+    """K+1 order statistics at ranks ``round(i*(n-1)/k)`` of the sorted
+    non-null values (numeric dtype, zone-map units). None for empty."""
+    n = len(v)
+    if n == 0:
+        return None
+    v = np.sort(v)
+    idx = np.round(np.linspace(0, n - 1, k + 1)).astype(np.int64)
+    g = v[idx]
+    if np.issubdtype(g.dtype, np.integer):
+        return [int(x) for x in g]
+    return [float(x) for x in g]
+
+
+def _points(grids: list, weights: list) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten (grid, n) pairs into (values, per-point rank weights).
+
+    Point 0 of a grid anchors the minimum with weight 0; each later
+    point carries ``n/k`` — the mass of the cell it closes."""
+    vals, wts = [], []
+    for g, n in zip(grids, weights):
+        if g is None or n == 0:
+            continue
+        g = np.asarray(g, dtype=np.float64)
+        k = len(g) - 1
+        if k <= 0:
+            vals.append(g)
+            wts.append(np.asarray([float(n)]))
+            continue
+        w = np.full(len(g), n / k, dtype=np.float64)
+        w[0] = 0.0
+        vals.append(g)
+        wts.append(w)
+    if not vals:
+        return np.empty(0), np.empty(0)
+    v = np.concatenate(vals)
+    w = np.concatenate(wts)
+    order = np.argsort(v, kind="stable")
+    return v[order], w[order]
+
+
+def merge_to_summary(grids: list, weights: list, points: int = PARTIAL_POINTS) -> tuple[list, int]:
+    """Collapse many (grid, n) pairs into ONE bounded summary grid of at
+    most ``points`` order statistics plus the total weight — the partial
+    step of the distributed merge (output is itself a valid grid)."""
+    v, w = _points(grids, weights)
+    total = float(w.sum())
+    if len(v) == 0 or total == 0:
+        return [], 0
+    cum = np.cumsum(w)
+    # target ranks 0..total over `points` stations; searchsorted picks the
+    # first summary value whose cumulative mass reaches the station
+    targets = np.linspace(0, total, points)
+    pos = np.searchsorted(cum, targets, side="left")
+    pos = np.clip(pos, 0, len(v) - 1)
+    g = v[pos]
+    return [float(x) for x in g], int(round(total))
+
+
+def estimate(grids: list, weights: list, qs: list[float]) -> list[float]:
+    """Quantile estimates at fractions ``qs`` from (grid, n) pairs."""
+    v, w = _points(grids, weights)
+    if len(v) == 0:
+        return [float("nan")] * len(qs)
+    cum = np.cumsum(w)
+    total = cum[-1]
+    out = []
+    for q in qs:
+        target = min(max(q, 0.0), 1.0) * total
+        i = int(np.searchsorted(cum, target, side="left"))
+        i = min(i, len(v) - 1)
+        out.append(float(v[i]))
+    return out

@@ -1,0 +1,110 @@
+"""Per-chunk quantile grids → table-level quantiles / range bounds."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from parquet2_spark.operators import decode_job
+from parquet2_spark.operators.encode_job import EncodeConfig, encode
+from parquet2_spark.plans import quantile as q_mod
+
+
+class TestSketchMath:
+    def test_grid_is_order_statistics(self):
+        v = np.arange(1000)[::-1].copy()  # unsorted input
+        g = q_mod.grid_from_values(v, k=4)
+        assert g == [0, 250, 500, 749, 999]
+
+    def test_single_grid_estimate_exact_on_grid_points(self):
+        v = np.arange(0, 128_000)
+        g = q_mod.grid_from_values(v)
+        est = q_mod.estimate([g], [len(v)], [0.0, 0.25, 0.5, 1.0])
+        for e, want in zip(est, [0, 32_000, 64_000, 127_999]):
+            assert abs(e - want) <= len(v) / q_mod.K + 1
+
+    def test_merge_bounded_rank_error(self):
+        rng = np.random.default_rng(7)
+        chunks = [rng.integers(0, 1_000_000, size=n) for n in (5000, 20000, 1000)]
+        grids = [q_mod.grid_from_values(c) for c in chunks]
+        weights = [len(c) for c in chunks]
+        allv = np.sort(np.concatenate(chunks))
+        N = len(allv)
+        for q in (0.1, 0.5, 0.9, 0.99):
+            est = q_mod.estimate(grids, weights, [q])[0]
+            rank = np.searchsorted(allv, est) / N
+            assert abs(rank - q) <= 1.5 / q_mod.K + 0.01, (q, rank)
+
+    def test_partial_summary_roundtrip(self):
+        rng = np.random.default_rng(11)
+        chunks = [rng.normal(size=4000) for _ in range(20)]
+        grids = [q_mod.grid_from_values(c) for c in chunks]
+        weights = [len(c) for c in chunks]
+        direct = q_mod.estimate(grids, weights, [0.25, 0.5, 0.75])
+        # two-level: partial summaries of chunk halves, then estimate
+        s1, t1 = q_mod.merge_to_summary(grids[:10], weights[:10])
+        s2, t2 = q_mod.merge_to_summary(grids[10:], weights[10:])
+        twolevel = q_mod.estimate([s1, s2], [t1, t2], [0.25, 0.5, 0.75])
+        allv = np.sort(np.concatenate(chunks))
+        for d, t in zip(direct, twolevel):
+            # both within rank tolerance of each other via the exact CDF
+            rd = np.searchsorted(allv, d) / len(allv)
+            rt = np.searchsorted(allv, t) / len(allv)
+            assert abs(rd - rt) < 0.02
+
+    def test_empty(self):
+        assert q_mod.grid_from_values(np.array([])) is None
+        assert np.isnan(q_mod.estimate([], [], [0.5])[0])
+
+
+class TestEngineQuantiles:
+    @pytest.fixture(scope="class")
+    def snap(self, spark, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("snap_q"))
+        df = spark.range(20_000).select(
+            F.col("id").alias("k"),
+            (F.col("id") * F.col("id")).alias("sq"),  # skewed distribution
+            F.timestamp_micros(F.lit(1_700_000_000_000_000) + F.col("id") * 1_000_000).alias("ts"),
+            F.concat(F.lit("s"), F.col("id")).alias("s"),
+        )
+        encode(spark, df, d, EncodeConfig(target_rows=2048, page_rows=512,
+                                          sort_by="k", key="k", host_from_key=False))
+        return d
+
+    def test_quantiles_within_rank_tolerance(self, spark, snap):
+        est = decode_job.quantiles(spark, snap, "sq", [0.1, 0.5, 0.9])
+        for q, e in zip([0.1, 0.5, 0.9], est):
+            want = (q * 20_000) ** 2  # exact quantile of id^2
+            rank = (e ** 0.5) / 20_000
+            assert abs(rank - q) < 0.02, (q, e)
+
+    def test_timestamp_units_are_micros(self, spark, snap):
+        (med,) = decode_job.quantiles(spark, snap, "ts", [0.5])
+        assert abs(med - (1_700_000_000_000_000 + 10_000 * 1_000_000)) < 200 * 1_000_000
+
+    def test_range_bounds_split_evenly(self, spark, snap):
+        bounds = decode_job.range_bounds(spark, snap, "k", 4)
+        assert len(bounds) == 3
+        for want, got in zip([5000, 10000, 15000], bounds):
+            assert abs(got - want) < 20_000 * 0.02
+
+    def test_non_numeric_column_raises(self, spark, snap):
+        with pytest.raises(ValueError):
+            decode_job.quantiles(spark, snap, "s", [0.5])
+
+    def test_two_stage_path_agrees(self, spark, snap, monkeypatch):
+        direct = decode_job.quantiles(spark, snap, "k", [0.25, 0.75])
+        monkeypatch.setattr(decode_job, "_committed_partition_count",
+                            lambda *a, **k: None)  # force the big-table shape
+        big = decode_job.quantiles(spark, snap, "k", [0.25, 0.75])
+        for d, b in zip(direct, big):
+            assert abs(d - b) <= 20_000 * 2 / q_mod.K
+
+    def test_grids_disabled_detected(self, spark, tmp_path):
+        d = str(tmp_path / "noq")
+        df = spark.range(500).select(F.col("id").alias("k"))
+        encode(spark, df, d, EncodeConfig(target_rows=250, key="k", sort_by="k",
+                                          host_from_key=False, quantile_grid=False))
+        with pytest.raises(ValueError):
+            decode_job.quantiles(spark, d, "k", [0.5])
