@@ -317,29 +317,27 @@ def quantiles(
     n_committed = _committed_partition_count(snapshot_dir, filesystem)
     if n_committed is not None and 0 < n_committed <= 2000:
         rows = sel.collect()
-        grids, weights = [], []
+        grids = []
         for r in rows:
             if r["w"] and r["qgrid"] is None:
                 raise ValueError(
                     f"column {column}: chunk without a quantile grid — "
                     f"re-encode with quantile_grid=True for exact coverage"
                 )
-            if r["w"]:
+            if r["qgrid"] is not None:
                 grids.append(json.loads(r["qgrid"]))
-                weights.append(int(r["w"]))
-        return q_mod.estimate(grids, weights, qs)
+        return q_mod.estimate(grids, None, qs)
 
     def partial(pdfs):
         for pdf in pdfs:
-            live = pdf[pdf["w"] > 0]
-            miss = bool(live["qgrid"].isna().any())
+            miss = bool((pdf["qgrid"].isna() & (pdf["w"] > 0)).any())
             if miss:
                 yield pd.DataFrame(
                     {"summary": [None], "total": [0], "miss": [True]}
                 )
                 continue
-            grids = [json.loads(g) for g in live["qgrid"]]
-            g, total = q_mod.merge_to_summary(grids, list(live["w"]))
+            grids = [json.loads(g) for g in pdf["qgrid"] if g is not None]
+            g, total = q_mod.merge_to_summary(grids)
             yield pd.DataFrame(
                 {"summary": [json.dumps(g)], "total": [total], "miss": [False]}
             )

@@ -239,7 +239,10 @@ def _qgrid_values(arr: pa.Array) -> np.ndarray | None:
         return None
     a = arr.drop_null() if arr.null_count else arr
     if len(a) == 0:
-        return None
+        # numeric but valueless: an EMPTY array (not None) so the grid
+        # records the explicit zero-weight grid — "no eligible values"
+        # must stay distinguishable from "no grid stored"
+        return np.empty(0, dtype=np.int64)
     if pt.is_timestamp(t):
         return a.cast(pa.int64()).to_numpy(zero_copy_only=False)
     if pt.is_date(t):

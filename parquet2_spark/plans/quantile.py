@@ -27,28 +27,53 @@ K = 128  # cells per chunk grid (K+1 stored points)
 PARTIAL_POINTS = 1025  # bound on intermediate summary size
 
 
-def grid_from_values(v: np.ndarray, k: int = K) -> list | None:
-    """K+1 order statistics at ranks ``round(i*(n-1)/k)`` of the sorted
-    non-null values (numeric dtype, zone-map units). None for empty."""
+def grid_from_values(v: np.ndarray, k: int = K) -> dict | None:
+    """``{"n": count, "g": [K+1 order statistics]}`` at ranks
+    ``round(i*(n-1)/k)`` of the sorted non-null, non-NaN values (numeric
+    dtype, zone-map units). The eligible-value count travels WITH the
+    grid: a float chunk's NaNs are neither null (so ``n_rows -
+    null_count`` over-weights the chunk) nor orderable (``np.sort``
+    would put them at the top and poison the upper grid points) — they
+    are excluded here and the true weight recorded. A chunk with no
+    eligible values (all-null, or all-NaN floats) returns the explicit
+    empty grid ``{"n": 0, "g": []}`` — distinct from "no grid stored",
+    so the decode-side coverage guard never misreads it as a gap."""
+    if np.issubdtype(v.dtype, np.floating):
+        v = v[~np.isnan(v)]
     n = len(v)
     if n == 0:
-        return None
+        return {"n": 0, "g": []}
     v = np.sort(v)
     idx = np.round(np.linspace(0, n - 1, k + 1)).astype(np.int64)
     g = v[idx]
     if np.issubdtype(g.dtype, np.integer):
-        return [int(x) for x in g]
-    return [float(x) for x in g]
+        return {"n": int(n), "g": [int(x) for x in g]}
+    return {"n": int(n), "g": [float(x) for x in g]}
 
 
-def _points(grids: list, weights: list) -> tuple[np.ndarray, np.ndarray]:
-    """Flatten (grid, n) pairs into (values, per-point rank weights).
+def _norm(grids: list, weights: list | None) -> list[tuple[list, float]]:
+    """Normalize entries to (point-list, weight): dict grids
+    (``{"n", "g"}``) carry their own weight; plain lists take it from
+    ``weights`` (partial summaries)."""
+    out = []
+    for i, g in enumerate(grids):
+        if g is None:
+            continue
+        if isinstance(g, dict):
+            out.append((g["g"], float(g["n"])))
+        else:
+            out.append((g, float(weights[i])))
+    return out
+
+
+def _points(grids: list, weights: list | None) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten grids into (values, per-point rank weights).
 
     Point 0 of a grid anchors the minimum with weight 0; each later
     point carries ``n/k`` — the mass of the cell it closes."""
     vals, wts = [], []
-    for g, n in zip(grids, weights):
-        if g is None or n == 0:
+    for g, n in _norm(grids, weights):
+        if n == 0:
             continue
         g = np.asarray(g, dtype=np.float64)
         k = len(g) - 1
@@ -68,9 +93,9 @@ def _points(grids: list, weights: list) -> tuple[np.ndarray, np.ndarray]:
     return v[order], w[order]
 
 
-def merge_to_summary(grids: list, weights: list, points: int = PARTIAL_POINTS) -> tuple[list, int]:
-    """Collapse many (grid, n) pairs into ONE bounded summary grid of at
-    most ``points`` order statistics plus the total weight — the partial
+def merge_to_summary(grids: list, weights: list | None = None, points: int = PARTIAL_POINTS) -> tuple[list, int]:
+    """Collapse many grids into ONE bounded summary grid of at most
+    ``points`` order statistics plus the total weight — the partial
     step of the distributed merge (output is itself a valid grid)."""
     v, w = _points(grids, weights)
     total = float(w.sum())
@@ -86,8 +111,9 @@ def merge_to_summary(grids: list, weights: list, points: int = PARTIAL_POINTS) -
     return [float(x) for x in g], int(round(total))
 
 
-def estimate(grids: list, weights: list, qs: list[float]) -> list[float]:
-    """Quantile estimates at fractions ``qs`` from (grid, n) pairs."""
+def estimate(grids: list, weights: list | None, qs: list[float]) -> list[float]:
+    """Quantile estimates at fractions ``qs``; ``grids`` are dict grids
+    (self-weighted) or plain summary lists weighted by ``weights``."""
     v, w = _points(grids, weights)
     if len(v) == 0:
         return [float("nan")] * len(qs)

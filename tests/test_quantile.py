@@ -15,12 +15,12 @@ class TestSketchMath:
     def test_grid_is_order_statistics(self):
         v = np.arange(1000)[::-1].copy()  # unsorted input
         g = q_mod.grid_from_values(v, k=4)
-        assert g == [0, 250, 500, 749, 999]
+        assert g == {"n": 1000, "g": [0, 250, 500, 749, 999]}
 
     def test_single_grid_estimate_exact_on_grid_points(self):
         v = np.arange(0, 128_000)
         g = q_mod.grid_from_values(v)
-        est = q_mod.estimate([g], [len(v)], [0.0, 0.25, 0.5, 1.0])
+        est = q_mod.estimate([g], None, [0.0, 0.25, 0.5, 1.0])
         for e, want in zip(est, [0, 32_000, 64_000, 127_999]):
             assert abs(e - want) <= len(v) / q_mod.K + 1
 
@@ -28,11 +28,10 @@ class TestSketchMath:
         rng = np.random.default_rng(7)
         chunks = [rng.integers(0, 1_000_000, size=n) for n in (5000, 20000, 1000)]
         grids = [q_mod.grid_from_values(c) for c in chunks]
-        weights = [len(c) for c in chunks]
         allv = np.sort(np.concatenate(chunks))
         N = len(allv)
         for q in (0.1, 0.5, 0.9, 0.99):
-            est = q_mod.estimate(grids, weights, [q])[0]
+            est = q_mod.estimate(grids, None, [q])[0]
             rank = np.searchsorted(allv, est) / N
             assert abs(rank - q) <= 1.5 / q_mod.K + 0.01, (q, rank)
 
@@ -40,11 +39,10 @@ class TestSketchMath:
         rng = np.random.default_rng(11)
         chunks = [rng.normal(size=4000) for _ in range(20)]
         grids = [q_mod.grid_from_values(c) for c in chunks]
-        weights = [len(c) for c in chunks]
-        direct = q_mod.estimate(grids, weights, [0.25, 0.5, 0.75])
+        direct = q_mod.estimate(grids, None, [0.25, 0.5, 0.75])
         # two-level: partial summaries of chunk halves, then estimate
-        s1, t1 = q_mod.merge_to_summary(grids[:10], weights[:10])
-        s2, t2 = q_mod.merge_to_summary(grids[10:], weights[10:])
+        s1, t1 = q_mod.merge_to_summary(grids[:10])
+        s2, t2 = q_mod.merge_to_summary(grids[10:])
         twolevel = q_mod.estimate([s1, s2], [t1, t2], [0.25, 0.5, 0.75])
         allv = np.sort(np.concatenate(chunks))
         for d, t in zip(direct, twolevel):
@@ -53,9 +51,19 @@ class TestSketchMath:
             rt = np.searchsorted(allv, t) / len(allv)
             assert abs(rd - rt) < 0.02
 
-    def test_empty(self):
-        assert q_mod.grid_from_values(np.array([])) is None
-        assert np.isnan(q_mod.estimate([], [], [0.5])[0])
+    def test_empty_and_nan_only(self):
+        assert q_mod.grid_from_values(np.array([])) == {"n": 0, "g": []}
+        assert q_mod.grid_from_values(np.array([np.nan, np.nan])) == {"n": 0, "g": []}
+        assert np.isnan(q_mod.estimate([], None, [0.5])[0])
+
+    def test_nan_values_excluded_from_grid_and_weight(self):
+        v = np.concatenate([np.arange(100.0), np.full(100, np.nan)])
+        g = q_mod.grid_from_values(v, k=4)
+        assert g == {"n": 100, "g": [0.0, 25.0, 50.0, 74.0, 99.0]}
+        # a NaN-heavy chunk merged with a clean one must not skew ranks
+        clean = q_mod.grid_from_values(np.arange(100.0, 200.0), k=4)
+        (med,) = q_mod.estimate([g, clean], None, [0.5])
+        assert 85 <= med <= 115  # true median of the 200 eligible values ~100
 
 
 class TestEngineQuantiles:
