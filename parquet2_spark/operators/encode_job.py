@@ -614,7 +614,7 @@ def encode(
                     {x for s in vals[f"codecs_{i}"] for x in s.split(",")}
                 ),
             }
-        precomputed = (per_col, int(vals["n_parts"]))
+        precomputed = (per_col, int(vals.get("n_parts") or 0))
 
     return finalize(
         spark, snapshot_dir, cfg, columns, df, n_parts, time.time() - t0,
