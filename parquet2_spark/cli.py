@@ -41,6 +41,11 @@ def main(argv: list[str] | None = None) -> int:
     for name in ("meta", "rowcount", "stats"):
         sp = sub.add_parser(name)
         sp.add_argument("snapshot")
+    sp = sub.add_parser("quantiles")
+    sp.add_argument("snapshot")
+    sp.add_argument("column")
+    sp.add_argument("--q", default="0.01,0.25,0.5,0.75,0.99",
+                    help="comma-separated quantile fractions")
     sp = sub.add_parser("dump")
     sp.add_argument("snapshot")
     sp.add_argument("--columns", default=None)
@@ -111,6 +116,12 @@ def main(argv: list[str] | None = None) -> int:
     spark = _spark()
     if args.cmd == "stats":
         decode_job.stats(spark, args.snapshot).show(200, truncate=False)
+        return 0
+    if args.cmd == "quantiles":
+        qs = [float(x) for x in args.q.split(",")]
+        est = decode_job.quantiles(spark, args.snapshot, args.column, qs)
+        print(json.dumps({"column": args.column,
+                          "quantiles": dict(zip(map(str, qs), est))}))
         return 0
     if args.cmd == "dump":
         cols = args.columns.split(",") if args.columns else None

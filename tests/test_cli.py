@@ -193,3 +193,22 @@ def test_cli_decode_null_predicates(spark, tmp_path_factory):
     out2 = str(tmp_path_factory.mktemp("cli_nn_o2")) + "/o"
     assert cli.main(["decode", snap, out2, "--is-null", "y"]) == 0
     assert spark.read.parquet(out2).count() == 360
+
+
+def test_cli_quantiles(spark, tmp_path_factory):
+    import json as _json
+
+    from parquet2_spark import cli
+    from parquet2_spark.operators.encode_job import EncodeConfig, encode
+    import io, contextlib
+
+    snap = str(tmp_path_factory.mktemp("cli_q"))
+    df = spark.range(4000).select(F.col("id").alias("k"))
+    encode(spark, df, snap, EncodeConfig(target_rows=1000, key="k", sort_by="k",
+                                         host_from_key=False))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main(["quantiles", snap, "k", "--q", "0.5"])
+    assert rc == 0
+    rep = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert abs(rep["quantiles"]["0.5"] - 2000) < 4000 * 0.02
