@@ -166,3 +166,33 @@ class TestQuantilePlannedLayout:
         # and a quarter-range decode touches exactly one partition's rows
         out = decode_job.decode(spark, d2, columns=["k"], key_range=("k", 0, 1999))
         assert out.count() == 2000
+
+
+class TestQuantileProperties:
+    def test_rank_error_bound_hypothesis(self):
+        """Property: for ANY partition of ANY data into chunks, every
+        estimate's rank error is within the theoretical bound
+        (sum of per-chunk cell masses / N) plus discretization slack."""
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            st.lists(
+                st.lists(st.integers(-10**12, 10**12), min_size=1, max_size=400),
+                min_size=1,
+                max_size=8,
+            ),
+            st.floats(0.01, 0.99),
+        )
+        def check(chunks, q):
+            grids = [q_mod.grid_from_values(np.asarray(c, dtype=np.int64))
+                     for c in chunks]
+            est = q_mod.estimate(grids, None, [q])[0]
+            allv = np.sort(np.concatenate([np.asarray(c) for c in chunks]))
+            N = len(allv)
+            lo = np.searchsorted(allv, est, side="left") / N
+            hi = np.searchsorted(allv, est, side="right") / N
+            bound = sum(max(1, len(c)) / q_mod.K for c in chunks) / N + 2 / N
+            assert lo - bound <= q <= hi + bound, (q, lo, hi, bound)
+
+        check()
