@@ -22,8 +22,11 @@ def test_page_pruning_correct_and_skips_pages(spark, tmp_path_factory):
     got = pruned.filter(F.col("url").between(lo, hi)).count()
     want = df.filter(F.col("url").between(lo, hi)).count()
     assert want > 0 and got == want
-    # the pruned decode returns fewer rows than a full decode
+    # the pruned decode returns fewer rows than a full decode, and the
+    # decode metrics prove pages were PHYSICALLY skipped, not row-filtered
     assert pruned.count() < df.count()
+    m = pruned.p2s_decode_metrics
+    assert m["pages_skipped"].value > 0
 
     # empty range → zero rows, typed schema preserved
     nothing = decode_job.decode(spark, snap, columns=["url"], key_range=("url", "zzz", "zzz~"))
