@@ -547,7 +547,22 @@ def encode(
     def run(tbl: pa.Table) -> pa.Table:
         return _encode_partition_arrow(tbl, cfg, snapshot_dir, columns, target_schema)
 
-    metrics_df = planned.groupBy("_part_id").applyInArrow(run, CHUNK_SCHEMA)
+    if cfg.shuffle:
+        metrics_df = planned.groupBy("_part_id").applyInArrow(run, CHUNK_SCHEMA)
+    else:
+        # pre-partitioned input (_part_id == spark_partition_id): a
+        # groupBy here would STILL insert a hash exchange — pure waste
+        # when each input partition already is one output partition.
+        # mapInArrow keeps the plan exchange-free (and, with no hash
+        # columns, fully columnar from the parquet scan to the UDF).
+        def run_map(batches):
+            bl = [rb for rb in batches if rb.num_rows]
+            if not bl:
+                return
+            out = run(pa.Table.from_batches(bl))
+            yield from out.to_batches()
+
+        metrics_df = planned.mapInArrow(run_map, CHUNK_SCHEMA)
 
     # When THIS job's metric rows provably cover the whole snapshot
     # (fresh dir, nothing resumed), the lineage aggregates ride the job's
