@@ -70,12 +70,20 @@ def _points(grids: list, weights: list | None) -> tuple[np.ndarray, np.ndarray]:
     """Flatten grids into (values, per-point rank weights).
 
     Point 0 of a grid anchors the minimum with weight 0; each later
-    point carries ``n/k`` — the mass of the cell it closes."""
+    point carries ``n/k`` — the mass of the cell it closes. Values stay
+    int64 when EVERY grid is integral: a float64 round-trip would
+    corrupt keys beyond 2^53 (hash-like 64-bit ids), silently moving
+    split points."""
+    entries = _norm(grids, weights)
+    all_int = all(
+        isinstance(x, (int, np.integer)) for g, _ in entries for x in g[:1]
+    )
+    vdtype = np.int64 if all_int else np.float64
     vals, wts = [], []
-    for g, n in _norm(grids, weights):
+    for g, n in entries:
         if n == 0:
             continue
-        g = np.asarray(g, dtype=np.float64)
+        g = np.asarray(g, dtype=vdtype)
         k = len(g) - 1
         if k <= 0:
             vals.append(g)
@@ -108,7 +116,7 @@ def merge_to_summary(grids: list, weights: list | None = None, points: int = PAR
     pos = np.searchsorted(cum, targets, side="left")
     pos = np.clip(pos, 0, len(v) - 1)
     g = v[pos]
-    return [float(x) for x in g], int(round(total))
+    return [x.item() for x in g], int(round(total))
 
 
 def estimate(grids: list, weights: list | None, qs: list[float]) -> list[float]:
@@ -124,5 +132,5 @@ def estimate(grids: list, weights: list | None, qs: list[float]) -> list[float]:
         target = min(max(q, 0.0), 1.0) * total
         i = int(np.searchsorted(cum, target, side="left"))
         i = min(i, len(v) - 1)
-        out.append(float(v[i]))
+        out.append(v[i].item())
     return out

@@ -196,3 +196,17 @@ class TestQuantileProperties:
             assert lo - bound <= q <= hi + bound, (q, lo, hi, bound)
 
         check()
+
+
+def test_int64_precision_preserved():
+    """Keys beyond 2^53 (hash-like 64-bit ids) must not round through
+    float64 — split points land on exact stored values."""
+    base = 2**60
+    v = np.arange(base, base + 4000, dtype=np.int64)
+    g1 = q_mod.grid_from_values(v[:2000])
+    g2 = q_mod.grid_from_values(v[2000:])
+    (med,) = q_mod.estimate([g1, g2], None, [0.5])
+    assert isinstance(med, int)
+    assert abs(med - (base + 2000)) <= 4000 / q_mod.K + 1
+    # a float64 round-trip would have quantized to multiples of 256 here
+    assert med % 256 != 0 or med in set(v.tolist())
