@@ -133,6 +133,14 @@ class EncodeConfig:
     selector: SelectorConfig = field(default_factory=SelectorConfig)
     num_partitions: int | None = None  # override partition count
     shuffle: bool = True  # False: keep input partitioning (no shuffle pass)
+    # EXACT partition assignment: use this (long-typed, in [0,
+    # num_partitions)) df column as _part_id verbatim — no salting, no
+    # planning scans. The caller owns balance; range-layout compaction
+    # uses it with sketch-derived bucket expressions (repartitionByRange
+    # over a handful of distinct bucket values under-splits: Spark's
+    # RangePartitioner boundaries come from samples). The column is
+    # excluded from the encoded schema.
+    partition_column: str | None = None
     host_sample_fraction: float = 1.0  # <1: sample-based hot-host counts
     # per-chunk split-block bloom filters for these columns (values hashed
     # JVM-side with xxhash64 before the shuffle; probed by decode key_eq)
@@ -171,6 +179,15 @@ def plan_partitions(df: DataFrame, cfg: EncodeConfig) -> tuple[DataFrame, int]:
     ``repartitionByRange`` on the zone-map key, which gives disjoint
     per-partition min/max and maximal range pruning at read time.
     """
+    if cfg.partition_column is not None:
+        if not cfg.num_partitions:
+            raise ValueError("partition_column requires num_partitions")
+        return (
+            df.withColumn("_part_id", F.col(cfg.partition_column).cast("long")).drop(
+                cfg.partition_column
+            ),
+            cfg.num_partitions,
+        )
     if not cfg.shuffle:
         n_parts = df.rdd.getNumPartitions()
         return df.withColumn("_part_id", F.spark_partition_id().cast("long")), n_parts
@@ -505,12 +522,12 @@ def encode(
     """Run the encode job; returns the lineage dict (also written as the
     ``_lineage.json`` sidecar)."""
     cfg = cfg or EncodeConfig()
-    columns = df.columns
+    columns = [c for c in df.columns if c != cfg.partition_column]
     # driver-side Spark→Arrow schema (recursive: nested/decimal included);
     # the picklable pa.Schema ships to executors, never Spark type objects
     from ..schema import df_to_pa_schema
 
-    target_schema = df_to_pa_schema(df)
+    target_schema = df_to_pa_schema(df.select(*columns))
     t0 = time.time()
 
     planned, n_parts = plan_partitions(df, cfg)
@@ -732,7 +749,7 @@ def finalize(
             "key": cfg.key,
             "outer": cfg.selector.outer,
         },
-        "schema": {c: t for c, t in df.dtypes},
+        "schema": {c: t for c, t in df.dtypes if c in columns},
         "columns": columns,
         "n_partitions_planned": n_parts,
         "n_partitions_committed": n_committed,

@@ -409,13 +409,22 @@ def compact(
     table_dir: str,
     cfg: EncodeConfig | None = None,
     keep_old: bool = False,
+    range_layout_on: str | None = None,
 ) -> dict:
     """Rewrite every committed snapshot into one fresh snapshot (the
     Iceberg `rewrite_data_files` maintenance op): many small appends →
     one well-partitioned snapshot, re-running codec selection over the
     merged data. Readers switch atomically at the manifest replace; old
     snapshot dirs are removed afterwards (or kept with ``keep_old`` for
-    external time-travel archival)."""
+    external time-travel archival).
+
+    ``range_layout_on=<numeric column>`` lays the rewrite out by RANGE of
+    that column using split points from the table's own quantile grids —
+    metadata-only planning (no sampling scan of 100 TB), a bucket
+    expression instead of the encode job's hash shuffle, and DISJOINT
+    per-partition zone maps on the column, so post-compaction range/point
+    reads prune maximally. The target partition count comes from
+    ``cfg.target_rows`` against the table's row count."""
     from . import decode_job
 
     if cfg is None:
@@ -445,7 +454,37 @@ def compact(
     snap_dir = os.path.join(table_dir, snap_name)
 
     df = decode_job.decode(spark, table_dir, filesystem=cfg.filesystem)
-    lin = encode(spark, df, snap_dir, cfg, resume=True)
+    enc_cfg = cfg
+    if range_layout_on is not None:
+        from dataclasses import replace as _replace
+
+        from pyspark.sql import functions as F
+
+        total_rows = sum(s["rows"] for s in man["snapshots"])
+        n_parts = max(1, -(-total_rows // cfg.target_rows))  # ceil
+        bounds = decode_job.range_bounds(
+            spark, table_dir, range_layout_on, n_parts, filesystem=cfg.filesystem
+        )
+        # bucket by the sketch bounds — handed to encode as the EXACT
+        # partition id (partition_column), so every bucket is its own
+        # partition (repartitionByRange over a handful of distinct bucket
+        # values under-splits: RangePartitioner boundaries are sampled)
+        bucket = F.lit(0)
+        for b in bounds:
+            bucket = bucket + (F.col(range_layout_on) > F.lit(b)).cast("int")
+        sort_cols = (
+            [cfg.sort_by] if isinstance(cfg.sort_by, str) else list(cfg.sort_by or [])
+        )
+        if range_layout_on not in sort_cols:
+            sort_cols = [range_layout_on] + sort_cols
+        df = df.withColumn("_p2s_bucket", bucket)
+        enc_cfg = _replace(
+            cfg,
+            partition_column="_p2s_bucket",
+            num_partitions=n_parts,
+            sort_by=tuple(sort_cols),
+        )
+    lin = encode(spark, df, snap_dir, enc_cfg, resume=True)
 
     compacted_ids = {s["id"] for s in man["snapshots"]}
     # batch keys of everything absorbed ride along so a late keyed retry

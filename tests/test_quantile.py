@@ -210,3 +210,42 @@ def test_int64_precision_preserved():
     assert abs(med - (base + 2000)) <= 4000 / q_mod.K + 1
     # a float64 round-trip would have quantized to multiples of 256 here
     assert med % 256 != 0 or med in set(v.tolist())
+
+
+class TestRangeLayoutCompaction:
+    def test_compact_range_layout(self, spark, tmp_path):
+        """compact(range_layout_on=) lays the rewrite out by sketch-derived
+        range bounds: disjoint per-partition zone maps on the column,
+        same rows (digest), batch keys preserved."""
+        from parquet2_spark.operators import table, validate
+
+        tdir = str(tmp_path / "tblr")
+        cfg = EncodeConfig(target_rows=1000, page_rows=250, sort_by="k",
+                           key="k", host_from_key=False)
+        a = spark.range(4000).select(
+            F.col("id").alias("k"), F.concat(F.lit("a"), F.col("id")).alias("s"))
+        b = spark.range(4000, 8000).select(
+            F.col("id").alias("k"), F.concat(F.lit("b"), F.col("id")).alias("s"))
+        table.append(spark, a, tdir, cfg, batch_key="A")
+        table.append(spark, b, tdir, cfg, batch_key="B")
+        src = a.unionByName(b)
+
+        lin = table.compact(spark, tdir, EncodeConfig(
+            target_rows=2000, page_rows=500, sort_by="k", key="k",
+            host_from_key=False), range_layout_on="k")
+        assert lin["rows"] == 8000
+        man = table.read_manifest(tdir)
+        assert len(man["snapshots"]) == 1
+        assert man["snapshots"][0]["compacted_batch_keys"] == ["A", "B"]
+        # disjoint zone maps on k
+        ch = decode_job.chunks_df(spark, tdir).filter(F.col("column") == "k")
+        spans = sorted((r["min_num"], r["max_num"]) for r in ch.collect())
+        assert len(spans) == 4
+        for (_, ahi), (blo, _) in zip(spans, spans[1:]):
+            assert ahi < blo
+        # rows bit-identical
+        rep = validate.digest_frames(src, decode_job.decode(spark, tdir))
+        assert rep["bit_identical"], rep
+        # a quarter-range read decodes exactly one partition's rows
+        got = decode_job.decode(spark, tdir, columns=["k"], key_range=("k", 0, 1999))
+        assert got.count() == 2000
