@@ -65,6 +65,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("table")
     sp.add_argument("--keep-old", action="store_true",
                     help="keep old snapshot dirs (external time-travel archival)")
+    sp.add_argument("--range-layout-on", default=None, metavar="COL",
+                    help="lay the rewrite out by RANGE of this numeric column "
+                         "using the table's quantile grids (disjoint zone maps)")
     sp = sub.add_parser("vacuum")
     sp.add_argument("table")
     sp.add_argument("--older-than", type=float, default=86400.0, metavar="SECONDS",
@@ -169,7 +172,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "compact":
         from .operators.table import compact, read_manifest
 
-        lin = compact(spark, args.table, keep_old=args.keep_old)
+        lin = compact(spark, args.table, keep_old=args.keep_old,
+                      range_layout_on=args.range_layout_on)
         man = read_manifest(args.table)
         print(json.dumps({
             "snapshot_id": man["current"],
