@@ -261,6 +261,49 @@ def _claim_staging_dir(
     return snap_name
 
 
+def _range_layout(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    cfg: EncodeConfig,
+    column: str,
+    n_rows: int,
+):
+    """Lay ``df`` out by range of ``column`` using split points from the
+    TABLE's quantile grids: metadata-only planning (no sampling scan),
+    bucket expression → ``EncodeConfig.partition_column`` for an EXACT
+    value→partition mapping, sort key prefixed with the layout column.
+    Returns (df_with_bucket, encode_cfg). Raises ValueError when the
+    table carries no grids for the column."""
+    from dataclasses import replace as _replace
+
+    from pyspark.sql import functions as F
+
+    from . import decode_job
+
+    n_parts = max(1, -(-int(n_rows) // cfg.target_rows))  # ceil
+    bounds = decode_job.range_bounds(
+        spark, table_dir, column, n_parts, filesystem=cfg.filesystem
+    )
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col(column) > F.lit(b)).cast("int")
+    sort_cols = (
+        [cfg.sort_by] if isinstance(cfg.sort_by, str) else list(cfg.sort_by or [])
+    )
+    if column not in sort_cols:
+        sort_cols = [column] + sort_cols
+    return (
+        df.withColumn("_p2s_bucket", bucket),
+        _replace(
+            cfg,
+            partition_column="_p2s_bucket",
+            num_partitions=n_parts,
+            sort_by=tuple(sort_cols),
+        ),
+    )
+
+
 def _check_additive_schema(fs, root: str, man: dict, new_schema: dict, exc) -> None:
     """Enforce additive schema evolution (Iceberg add-column) against the
     LAST snapshot recorded in ``man``: every existing column must keep its
@@ -293,8 +336,16 @@ def append(
     cfg: EncodeConfig | None = None,
     resume: bool = True,
     batch_key: str | None = None,
+    range_layout_on: str | None = None,
 ) -> dict:
     """Encode ``df`` as the table's next snapshot and commit it.
+
+    ``range_layout_on=<numeric column>`` lays the NEW batch out by range
+    split points derived from the TABLE'S existing quantile grids — the
+    incremental sort-order story: every delta lands range-clustered by
+    the same distribution, zone maps stay maximally prunable, and no
+    sampling scan of the batch is ever taken (first append, with no
+    grids to consult, falls back to the normal layout).
 
     Crash-safe at every point: the snapshot encodes with per-partition
     atomic commits (resumable), and becomes visible only via the final
@@ -331,7 +382,17 @@ def append(
         _release_manifest_lock(fs, lock)
     snap_dir = os.path.join(table_dir, snap_name)
 
-    lin = encode(spark, df, snap_dir, cfg, resume=resume)
+    enc_cfg = cfg
+    if range_layout_on is not None and man["snapshots"]:
+        try:
+            df, enc_cfg = _range_layout(
+                spark, df, table_dir, cfg, range_layout_on, df.count()
+            )
+        except ValueError:
+            # table predates quantile grids (or grids disabled) — the
+            # incremental layout is an optimization, not a requirement
+            enc_cfg = cfg
+    lin = encode(spark, df, snap_dir, enc_cfg, resume=resume)
 
     # Iceberg-style single-pointer commit, serialized by the manifest
     # lock; the snapshot id is FINALIZED here, not at encode start — if
@@ -456,33 +517,13 @@ def compact(
     df = decode_job.decode(spark, table_dir, filesystem=cfg.filesystem)
     enc_cfg = cfg
     if range_layout_on is not None:
-        from dataclasses import replace as _replace
-
-        from pyspark.sql import functions as F
-
-        total_rows = sum(s["rows"] for s in man["snapshots"])
-        n_parts = max(1, -(-total_rows // cfg.target_rows))  # ceil
-        bounds = decode_job.range_bounds(
-            spark, table_dir, range_layout_on, n_parts, filesystem=cfg.filesystem
-        )
         # bucket by the sketch bounds — handed to encode as the EXACT
         # partition id (partition_column), so every bucket is its own
         # partition (repartitionByRange over a handful of distinct bucket
         # values under-splits: RangePartitioner boundaries are sampled)
-        bucket = F.lit(0)
-        for b in bounds:
-            bucket = bucket + (F.col(range_layout_on) > F.lit(b)).cast("int")
-        sort_cols = (
-            [cfg.sort_by] if isinstance(cfg.sort_by, str) else list(cfg.sort_by or [])
-        )
-        if range_layout_on not in sort_cols:
-            sort_cols = [range_layout_on] + sort_cols
-        df = df.withColumn("_p2s_bucket", bucket)
-        enc_cfg = _replace(
-            cfg,
-            partition_column="_p2s_bucket",
-            num_partitions=n_parts,
-            sort_by=tuple(sort_cols),
+        df, enc_cfg = _range_layout(
+            spark, df, table_dir, cfg, range_layout_on,
+            sum(s["rows"] for s in man["snapshots"]),
         )
     lin = encode(spark, df, snap_dir, enc_cfg, resume=True)
 

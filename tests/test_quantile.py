@@ -249,3 +249,35 @@ class TestRangeLayoutCompaction:
         # a quarter-range read decodes exactly one partition's rows
         got = decode_job.decode(spark, tdir, columns=["k"], key_range=("k", 0, 1999))
         assert got.count() == 2000
+
+    def test_append_range_layout_incremental(self, spark, tmp_path):
+        """append(range_layout_on=) lays each DELTA out by the table's
+        existing distribution: the new snapshot's zone maps are disjoint,
+        the first (grid-less... actually gridful) append stays normal,
+        and rows stay digest-identical."""
+        from parquet2_spark.operators import table, validate
+
+        tdir = str(tmp_path / "tbla")
+        cfg = EncodeConfig(target_rows=1000, page_rows=250, sort_by="k",
+                           key="k", host_from_key=False)
+        a = spark.range(4000).select(
+            F.col("id").alias("k"), F.concat(F.lit("a"), F.col("id")).alias("s"))
+        # first append: no table yet -> normal layout
+        table.append(spark, a, tdir, cfg, range_layout_on="k")
+        # second append: same distribution, laid out by snapshot 1's grids
+        b = spark.range(4000).select(
+            F.col("id").alias("k"), F.concat(F.lit("b"), F.col("id")).alias("s"))
+        lin = table.append(spark, b, tdir, cfg, range_layout_on="k")
+        assert lin["rows"] == 4000
+        man = table.read_manifest(tdir)
+        snap2 = man["snapshots"][-1]["dir"]
+        import os
+        ch = decode_job.chunks_df(spark, os.path.join(tdir, snap2)).filter(
+            F.col("column") == "k")
+        spans = sorted((r["min_num"], r["max_num"]) for r in ch.collect())
+        assert len(spans) == 4
+        for (_, ahi), (blo, _) in zip(spans, spans[1:]):
+            assert ahi < blo  # disjoint within the delta snapshot
+        rep = validate.digest_frames(a.unionByName(b),
+                                     decode_job.decode(spark, tdir))
+        assert rep["bit_identical"], rep
