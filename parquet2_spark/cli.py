@@ -61,6 +61,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("table")
     sp.add_argument("--target-rows", type=int, default=131_072)
     sp.add_argument("--page-rows", type=int, default=8_192)
+    sp.add_argument("--batch-key", default=None,
+                    help="idempotency key: a keyed retry resumes or short-circuits")
+    sp.add_argument("--range-layout-on", default=None, metavar="COL",
+                    help="lay the batch out by RANGE of this numeric column "
+                         "using the table's quantile grids")
     sp = sub.add_parser("compact")
     sp.add_argument("table")
     sp.add_argument("--keep-old", action="store_true",
@@ -157,6 +162,8 @@ def main(argv: list[str] | None = None) -> int:
             df,
             args.table,
             EncodeConfig(target_rows=args.target_rows, page_rows=args.page_rows),
+            batch_key=args.batch_key,
+            range_layout_on=args.range_layout_on,
         )
         man = read_manifest(args.table)
         print(
