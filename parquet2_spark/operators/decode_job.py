@@ -280,6 +280,8 @@ def quantiles(
     column: str,
     qs: list[float],
     filesystem=None,
+    as_of: int | None = None,
+    since: int | None = None,
 ) -> list[float]:
     """Table-level quantile estimates for a numeric/temporal column from
     the per-chunk quantile grids (zone-map units: micros for timestamps,
@@ -306,7 +308,10 @@ def quantiles(
             f"column {column} ({ddl}) carries no quantile grids "
             f"(numeric/temporal columns only)"
         )
-    df = chunks_df(spark, snapshot_dir, filesystem=filesystem).filter(
+    # as_of/since window over multi-snapshot tables: quantiles of the
+    # table as of a snapshot, or of an incremental delta only — the
+    # planner's view matches exactly what decode(as_of=/since=) reads
+    df = chunks_df(spark, snapshot_dir, as_of, since, filesystem).filter(
         F.col("column") == column
     )
     if "qgrid" not in df.columns:

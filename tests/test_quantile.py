@@ -281,3 +281,23 @@ class TestRangeLayoutCompaction:
         rep = validate.digest_frames(a.unionByName(b),
                                      decode_job.decode(spark, tdir))
         assert rep["bit_identical"], rep
+
+    def test_quantiles_windows_as_of_since(self, spark, tmp_path):
+        """as_of= and since= windows: planner quantiles match exactly the
+        snapshot set decode would read."""
+        from parquet2_spark.operators import table
+
+        tdir = str(tmp_path / "tblw")
+        cfg = EncodeConfig(target_rows=500, key="k", sort_by="k",
+                           host_from_key=False)
+        table.append(spark, spark.range(1000).select(F.col("id").alias("k")),
+                     tdir, cfg)
+        table.append(spark,
+                     spark.range(10_000, 11_000).select(F.col("id").alias("k")),
+                     tdir, cfg)
+        (m_all,) = decode_job.quantiles(spark, tdir, "k", [0.5])
+        (m_old,) = decode_job.quantiles(spark, tdir, "k", [0.5], as_of=1)
+        (m_new,) = decode_job.quantiles(spark, tdir, "k", [0.5], since=1)
+        assert abs(m_old - 500) <= 1000 / q_mod.K + 1
+        assert abs(m_new - 10_500) <= 1000 / q_mod.K + 1
+        assert 900 <= m_all <= 10_100  # straddles the gap between batches
