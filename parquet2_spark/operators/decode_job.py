@@ -665,6 +665,16 @@ def decode(
     split-block bloom (see ``EncodeConfig.bloom_columns``) rules the value
     out are dropped before any payload is read; never a false negative.
     The residual equality filter is applied to the decoded rows.
+
+    The returned frame carries ``df.p2s_decode_metrics`` — a dict of
+    ``pages_read``/``pages_skipped`` SparkContext accumulators populated
+    once an action runs. Two caveats, by construction: (1) it is a plain
+    Python attribute on THIS DataFrame object — any further transform
+    (``select``/``filter``/``cache``) returns a new object without it, so
+    read it from the frame decode() returned; (2) accumulator updates are
+    not transactional across task retries/speculation, so the counts are
+    best-effort telemetry (may over-count under retry) — use them for
+    skip-evidence assertions and profiling, never for correctness.
     """
     # metadata plane (markers/sidecars) through pyarrow.fs; the data
     # plane (chunks parquet) stays on Spark's own scan — pass a URI

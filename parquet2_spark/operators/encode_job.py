@@ -607,7 +607,18 @@ def encode(
                 F.sum(F.when(cond, F.col("n_rows"))).alias(f"rows_{i}"),
                 F.collect_set(F.when(cond, F.col("codecs"))).alias(f"codecs_{i}"),
             ]
-        aggs.append(F.size(F.collect_set("part_id")).alias("n_parts"))
+        # committed-partition count WITHOUT materializing the id set in
+        # the driver-side observed metric (collect_set("part_id") would
+        # ship every distinct id through the driver — O(#partitions) at
+        # million-partition scale, exactly what this module avoids).
+        # Every partition emits exactly one chunk row per column, so the
+        # row count of one designated column IS the partition count.
+        n_parts_agg = (
+            F.count(F.when(F.col("column") == columns[0], F.lit(1)))
+            if columns
+            else F.count(F.lit(1))
+        )
+        aggs.append(n_parts_agg.alias("n_parts"))
         metrics_df = metrics_df.observe(obs, *aggs)
 
     # The job's one action STREAMS the per-partition metrics rows to a

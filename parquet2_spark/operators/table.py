@@ -285,9 +285,20 @@ def _range_layout(
     bounds = decode_job.range_bounds(
         spark, table_dir, column, n_parts, filesystem=cfg.filesystem
     )
+    ddl = dict(df.dtypes).get(column)
+    if ddl is None:
+        raise ValueError(f"range-layout column {column} not in batch schema")
+    # grids store zone-map UNITS (epoch micros/days as ints for temporal
+    # columns) — compare through the same unit-aware literal path decode
+    # uses, or `F.col(ts) > F.lit(int)` fails analysis with
+    # DATATYPE_MISMATCH. NULLs in the layout column (e.g. compact() over
+    # schema-evolved snapshots that decode the column as all-null) would
+    # propagate to a NULL bucket and a NULL _part_id downstream — the
+    # coalesce routes them to bucket 0 (nulls-first layout).
     bucket = F.lit(0)
     for b in bounds:
-        bucket = bucket + (F.col(column) > F.lit(b)).cast("int")
+        bucket = bucket + (F.col(column) > decode_job._typed_lit(b, ddl)).cast("int")
+    bucket = F.coalesce(bucket, F.lit(0))
     sort_cols = (
         [cfg.sort_by] if isinstance(cfg.sort_by, str) else list(cfg.sort_by or [])
     )
@@ -388,9 +399,13 @@ def append(
             df, enc_cfg = _range_layout(
                 spark, df, table_dir, cfg, range_layout_on, df.count()
             )
-        except ValueError:
-            # table predates quantile grids (or grids disabled) — the
-            # incremental layout is an optimization, not a requirement
+        except (ValueError, KeyError):
+            # ValueError: table predates quantile grids (or grids
+            # disabled); KeyError: the layout column is not yet in the
+            # TABLE schema (this batch introduces it — additive
+            # evolution), so quantiles() has no grids to consult. Either
+            # way the incremental layout is an optimization, not a
+            # requirement.
             enc_cfg = cfg
     lin = encode(spark, df, snap_dir, enc_cfg, resume=resume)
 

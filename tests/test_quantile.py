@@ -301,3 +301,91 @@ class TestRangeLayoutCompaction:
         assert abs(m_old - 500) <= 1000 / q_mod.K + 1
         assert abs(m_new - 10_500) <= 1000 / q_mod.K + 1
         assert 900 <= m_all <= 10_100  # straddles the gap between batches
+
+
+class TestRangeLayoutAdviceFixes:
+    """Round-5 ADVICE regressions: temporal layout columns, NULLs in the
+    layout column, and a batch that introduces the layout column."""
+
+    def test_range_layout_on_timestamp_column(self, spark, tmp_path):
+        """Grids store epoch-micros ints for timestamps; the bucket
+        comparison must route them through the unit-aware literal path
+        (a bare F.lit(int) > timestamp fails analysis)."""
+        from parquet2_spark.operators import table, validate
+
+        tdir = str(tmp_path / "tblts")
+        cfg = EncodeConfig(target_rows=1000, page_rows=250, sort_by="ts",
+                           key="ts", host_from_key=False)
+        mk = lambda voff: spark.range(4000).select(
+            F.timestamp_micros(F.col("id") * 60_000_000).alias("ts"),
+            (F.col("id") + voff).alias("v"))
+        table.append(spark, mk(0), tdir, cfg)
+        # delta from the SAME time distribution → grids split it 4 ways
+        lin = table.append(spark, mk(10_000), tdir, cfg,
+                           range_layout_on="ts")
+        assert lin["rows"] == 4000
+        man = table.read_manifest(tdir)
+        import os
+        ch = decode_job.chunks_df(
+            spark, os.path.join(tdir, man["snapshots"][-1]["dir"])
+        ).filter(F.col("column") == "ts")
+        spans = sorted((r["min_num"], r["max_num"]) for r in ch.collect())
+        assert len(spans) == 4
+        for (_, ahi), (blo, _) in zip(spans, spans[1:]):
+            assert ahi < blo  # range layout actually engaged, disjoint
+        rep = validate.digest_frames(
+            mk(0).unionByName(mk(10_000)), decode_job.decode(spark, tdir))
+        assert rep["bit_identical"], rep
+
+    def test_range_layout_on_date_column(self, spark, tmp_path):
+        from parquet2_spark.operators import table
+
+        tdir = str(tmp_path / "tbldt")
+        cfg = EncodeConfig(target_rows=500, sort_by="d", key="d",
+                           host_from_key=False)
+        mk = lambda lo, hi: spark.range(lo, hi).select(
+            F.date_from_unix_date((F.col("id") % 3000).cast("int")).alias("d"),
+            F.col("id").alias("v"))
+        table.append(spark, mk(0, 2000), tdir, cfg)
+        lin = table.append(spark, mk(2000, 4000), tdir, cfg,
+                           range_layout_on="d")
+        assert lin["rows"] == 2000
+        assert decode_job.decode(spark, tdir).count() == 4000
+
+    def test_range_layout_null_column_routes_to_bucket_zero(self, spark, tmp_path):
+        """NULLs in the layout column must not poison _part_id (int(None)
+        TypeError in the encoder) — they land in bucket 0."""
+        from parquet2_spark.operators import table, validate
+
+        tdir = str(tmp_path / "tblnull")
+        cfg = EncodeConfig(target_rows=1000, sort_by="k", key="v",
+                           host_from_key=False)
+        a = spark.range(4000).select(F.col("id").alias("k"),
+                                     (F.col("id") * 2).alias("v"))
+        table.append(spark, a, tdir, cfg)
+        # delta where k is NULL on a slice (schema-evolved-style all-null)
+        b = spark.range(4000, 8000).select(
+            F.when(F.col("id") % 4 == 0, None).otherwise(F.col("id"))
+             .alias("k"),
+            (F.col("id") * 2).alias("v"))
+        lin = table.append(spark, b, tdir, cfg, range_layout_on="k")
+        assert lin["rows"] == 4000
+        rep = validate.digest_frames(a.unionByName(b),
+                                     decode_job.decode(spark, tdir))
+        assert rep["bit_identical"], rep
+
+    def test_range_layout_new_column_falls_back(self, spark, tmp_path):
+        """A batch that INTRODUCES the layout column (additive evolution)
+        has no table grids for it — the documented fallback must engage
+        (quantiles() raises KeyError, not ValueError, here)."""
+        from parquet2_spark.operators import table
+
+        tdir = str(tmp_path / "tblnew")
+        cfg = EncodeConfig(target_rows=1000, key="k", host_from_key=False)
+        table.append(spark, spark.range(2000).select(F.col("id").alias("k")),
+                     tdir, cfg)
+        b = spark.range(2000, 4000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("newcol"))
+        lin = table.append(spark, b, tdir, cfg, range_layout_on="newcol")
+        assert lin["rows"] == 2000  # no crash; normal layout
+        assert decode_job.decode(spark, tdir).count() == 4000
