@@ -496,6 +496,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 rows.append((col, int(q * 100), int(ok)))
         return spark.createDataFrame(rows, "col_name string, q int, within_tol long")
 
+    def table_quantiles_text(spark, sf_dir):
+        """BYTE quantile grids on STRING columns — order statistics over
+        truncated byte prefixes, the ByteIndex analog (reference
+        src/indexes/index.rs stores truncated binary min/max the same
+        way). Encodes documents, estimates 5 quantiles each of ``text``
+        (long strings → truncation-heavy) and ``source`` (20 distinct
+        values → tie-heavy) from grid METADATA only, then pins each
+        estimate's exact CDF interval over the data: with a truncated
+        prefix p, rank(true quantile) lies in [count(< p), count(< p) +
+        count(prefix-extends p)], so that interval must intersect the 2%
+        band around the target. This is the sketch that drives range
+        layout on url/host without a sampling scan."""
+        import tempfile as _tf
+
+        from parquet2_spark.operators import decode_job
+        from parquet2_spark.operators.encode_job import EncodeConfig, encode
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+        snap = _tf.mkdtemp(prefix="p2s_qs_")
+        encode(spark, docs, snap,
+               EncodeConfig(target_rows=128, page_rows=64, sort_by="doc_id",
+                            key="doc_id", host_from_key=False))
+        qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+        n = docs.count()
+        rows = []
+        for col in ("text", "source"):
+            est = decode_job.quantiles(spark, snap, col, qs)
+            colb = F.col(col).cast("binary")
+            aggs = []
+            for i, e in enumerate(est):
+                assert isinstance(e, bytes), e
+                aggs.append(F.sum((colb < F.lit(e)).cast("long")).alias(f"lt{i}"))
+                aggs.append(
+                    F.sum(colb.startswith(F.lit(e)).cast("long")).alias(f"sw{i}")
+                )
+            got = docs.agg(*aggs).first()
+            for i, q in enumerate(qs):
+                lo = got[f"lt{i}"] / n
+                hi = (got[f"lt{i}"] + got[f"sw{i}"]) / n
+                ok = (lo <= q + 0.02) and (hi >= q - 0.02)
+                rows.append((col, int(q * 100), int(ok)))
+        return spark.createDataFrame(
+            rows, "col_name string, q int, within_tol long"
+        )
+
     def null_page_skip(spark, sf_dir):
         """Page-index null counts (reference PageIndex null_count,
         src/indexes/index.rs:74-135): a mostly-null column decoded under
@@ -935,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_key_range": decode_key_range,
         "null_page_skip": null_page_skip,
         "table_quantiles": table_quantiles,
+        "table_quantiles_text": table_quantiles_text,
         # training-data pipeline operators
         "training_pipeline": training_pipeline,
         "dedup_exact_docs": dedup_exact_docs,
@@ -1119,6 +1165,11 @@ GROUP BY lang
         "table_quantiles": (
             "SELECT c.col_name, u.q, CAST(1 AS BIGINT) AS within_tol "
             "FROM (VALUES ('l_extendedprice'), ('l_quantity')) c(col_name), "
+            "(VALUES (10), (25), (50), (75), (90)) u(q)"
+        ),
+        "table_quantiles_text": (
+            "SELECT c.col_name, u.q, CAST(1 AS BIGINT) AS within_tol "
+            "FROM (VALUES ('text'), ('source')) c(col_name), "
             "(VALUES (10), (25), (50), (75), (90)) u(q)"
         ),
         "rt_delta_length": _sel("documents", "doc_id, text"),

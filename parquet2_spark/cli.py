@@ -128,6 +128,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "quantiles":
         qs = [float(x) for x in args.q.split(",")]
         est = decode_job.quantiles(spark, args.snapshot, args.column, qs)
+        # string/binary columns estimate as byte prefixes — not JSON;
+        # render as lossy UTF-8 for the human-facing CLI
+        est = [e.decode("utf-8", "replace") if isinstance(e, bytes) else e
+               for e in est]
         print(json.dumps({"column": args.column,
                           "quantiles": dict(zip(map(str, qs), est))}))
         return 0

@@ -300,13 +300,23 @@ def quantiles(
     ddl = lineage(snapshot_dir, filesystem=filesystem)["schema"].get(column)
     if ddl is None:
         raise KeyError(f"column {column} not in snapshot schema")
-    if not (
+    numericish = (
         ddl in ("tinyint", "smallint", "int", "bigint", "float", "double", "date")
         or ddl.startswith("timestamp")
-    ):
+    )
+    # string/binary columns carry BYTE grids — order statistics over
+    # truncated byte prefixes (plans/quantile.py BYTES_PREFIX), the
+    # ByteIndex-style sketch that lets range layout key on url/host;
+    # estimates come back as `bytes` prefixes
+    bytesish = (
+        ddl in ("string", "binary")
+        or ddl.startswith("varchar")
+        or ddl.startswith("char")
+    )
+    if not (numericish or bytesish):
         raise ValueError(
             f"column {column} ({ddl}) carries no quantile grids "
-            f"(numeric/temporal columns only)"
+            f"(numeric/temporal/string/binary columns only)"
         )
     # as_of/since window over multi-snapshot tables: quantiles of the
     # table as of a snapshot, or of an incremental delta only — the

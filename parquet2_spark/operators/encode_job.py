@@ -234,11 +234,14 @@ def _chunk_qgrid(arr: pa.Array, cfg: "EncodeConfig") -> str | None:
     or non-numeric (see plans/quantile.py)."""
     if not cfg.quantile_grid:
         return None
-    v = _qgrid_values(arr)
-    if v is None:
-        return None
     from ..plans import quantile as q_mod
 
+    v = _qgrid_values(arr)
+    if v is None:
+        vb = _qgrid_byte_values(arr)
+        if vb is None:
+            return None
+        return json.dumps(q_mod.grid_from_bytes(vb))
     g = q_mod.grid_from_values(v)
     return None if g is None else json.dumps(g)
 
@@ -265,6 +268,32 @@ def _qgrid_values(arr: pa.Array) -> np.ndarray | None:
     if pt.is_date(t):
         return a.cast(pa.int32()).to_numpy(zero_copy_only=False)
     return a.to_numpy(zero_copy_only=False)
+
+
+def _qgrid_byte_values(arr) -> np.ndarray | None:
+    """Non-null BYTE PREFIXES (first ``quantile.BYTES_PREFIX`` bytes,
+    fixed-width ``S`` numpy array) of a string/binary column for the
+    per-chunk byte grid — the ByteIndex-style truncated order statistics
+    that make range layout on ``url``/host possible without a sampling
+    scan; None for other types."""
+    import pyarrow.compute as pc
+    import pyarrow.types as pt
+
+    from ..plans import quantile as q_mod
+
+    t = arr.type
+    if pt.is_string(t) or pt.is_large_string(t):
+        arr = arr.cast(pa.large_binary() if pt.is_large_string(t) else pa.binary())
+    elif not (pt.is_binary(t) or pt.is_large_binary(t)):
+        return None
+    a = arr.drop_null() if arr.null_count else arr
+    width = f"S{q_mod.BYTES_PREFIX}"
+    if len(a) == 0:
+        return np.empty(0, dtype=width)
+    a = pc.binary_slice(a, 0, q_mod.BYTES_PREFIX)
+    # object array of python bytes → fixed-width (NUL-padded) for the
+    # C-speed lexicographic sort in grid_from_bytes
+    return np.asarray(a.to_pandas(), dtype=object).astype(width)
 
 
 def _stat_cols(meta: blob.ChunkMeta):

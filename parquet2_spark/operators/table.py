@@ -296,8 +296,21 @@ def _range_layout(
     # propagate to a NULL bucket and a NULL _part_id downstream — the
     # coalesce routes them to bucket 0 (nulls-first layout).
     bucket = F.lit(0)
-    for b in bounds:
-        bucket = bucket + (F.col(column) > decode_job._typed_lit(b, ddl)).cast("int")
+    if isinstance(bounds[0] if bounds else None, (bytes, bytearray)):
+        # string/binary layout key: bounds are truncated byte prefixes
+        # (ByteIndex semantics). Compare in BINARY space — UTF-8 byte
+        # order equals string order, and a prefix cut mid-codepoint is
+        # not valid UTF-8, so a string-typed literal could mis-compare.
+        col = F.col(column)
+        if ddl != "binary":
+            col = col.cast("binary")
+        for b in bounds:
+            bucket = bucket + (col > F.lit(bytes(b))).cast("int")
+    else:
+        for b in bounds:
+            bucket = bucket + (
+                F.col(column) > decode_job._typed_lit(b, ddl)
+            ).cast("int")
     bucket = F.coalesce(bucket, F.lit(0))
     sort_cols = (
         [cfg.sort_by] if isinstance(cfg.sort_by, str) else list(cfg.sort_by or [])

@@ -21,10 +21,21 @@ million grids to one task.
 
 from __future__ import annotations
 
+import base64
+
 import numpy as np
 
 K = 128  # cells per chunk grid (K+1 stored points)
 PARTIAL_POINTS = 1025  # bound on intermediate summary size
+# string/binary grid points are order statistics over byte PREFIXES of
+# this length — the reference's ByteIndex stores truncated min/max the
+# same way (reference/src/indexes/index.rs): truncation keeps the
+# metadata bounded (~24 B × 129 points per chunk) while preserving
+# lexicographic order, so truncated prefixes merge exactly like numeric
+# points. A split point that is a truncated prefix is still a valid
+# comparison bound; only its rank blurs by the mass of values sharing
+# the full prefix.
+BYTES_PREFIX = 24
 
 
 def grid_from_values(v: np.ndarray, k: int = K) -> dict | None:
@@ -51,6 +62,27 @@ def grid_from_values(v: np.ndarray, k: int = K) -> dict | None:
     return {"n": int(n), "g": [float(x) for x in g]}
 
 
+def grid_from_bytes(v: np.ndarray, k: int = K) -> dict:
+    """Byte-prefix grid for a string/binary chunk: ``v`` is a numpy
+    fixed-width bytes array (``S<=BYTES_PREFIX``, values already
+    truncated). numpy's S-dtype sort is true byte-lexicographic
+    (verified: matches Python ``bytes`` ordering including embedded
+    NULs), and extraction strips trailing NUL padding — a stripped point
+    compares ``<=`` its padded form, so ranks stay conservative. Points
+    serialize as base64 strings (``"t": "b"`` marks the grid) because
+    raw bytes are not JSON."""
+    n = len(v)
+    if n == 0:
+        return {"n": 0, "g": [], "t": "b"}
+    v = np.sort(v)
+    idx = np.round(np.linspace(0, n - 1, k + 1)).astype(np.int64)
+    return {
+        "n": int(n),
+        "g": [base64.b64encode(x).decode() for x in v[idx]],
+        "t": "b",
+    }
+
+
 def _norm(grids: list, weights: list | None) -> list[tuple[list, float]]:
     """Normalize entries to (point-list, weight): dict grids
     (``{"n", "g"}``) carry their own weight; plain lists take it from
@@ -75,14 +107,28 @@ def _points(grids: list, weights: list | None) -> tuple[np.ndarray, np.ndarray]:
     corrupt keys beyond 2^53 (hash-like 64-bit ids), silently moving
     split points."""
     entries = _norm(grids, weights)
-    all_int = all(
-        isinstance(x, (int, np.integer)) for g, _ in entries for x in g[:1]
+    # byte grids carry base64-string points (grid_from_bytes / a byte
+    # summary round-trip) — decode to fixed-width bytes and sort with
+    # the same rank algebra; numeric grids keep the int64/float64 rule
+    is_bytes = any(
+        isinstance(x, (str, bytes)) for g, _ in entries for x in g[:1]
     )
-    vdtype = np.int64 if all_int else np.float64
+    if is_bytes:
+        vdtype = f"S{BYTES_PREFIX}"
+    else:
+        all_int = all(
+            isinstance(x, (int, np.integer)) for g, _ in entries for x in g[:1]
+        )
+        vdtype = np.int64 if all_int else np.float64
     vals, wts = [], []
     for g, n in entries:
         if n == 0:
             continue
+        if is_bytes:
+            g = [
+                base64.b64decode(x) if isinstance(x, str) else bytes(x)
+                for x in g
+            ]
         g = np.asarray(g, dtype=vdtype)
         k = len(g) - 1
         if k <= 0:
@@ -116,12 +162,17 @@ def merge_to_summary(grids: list, weights: list | None = None, points: int = PAR
     pos = np.searchsorted(cum, targets, side="left")
     pos = np.clip(pos, 0, len(v) - 1)
     g = v[pos]
+    if g.dtype.kind == "S":
+        # byte summary: re-serialize as base64 so the partial stays JSON
+        return [base64.b64encode(x).decode() for x in g], int(round(total))
     return [x.item() for x in g], int(round(total))
 
 
-def estimate(grids: list, weights: list | None, qs: list[float]) -> list[float]:
+def estimate(grids: list, weights: list | None, qs: list[float]) -> list:
     """Quantile estimates at fractions ``qs``; ``grids`` are dict grids
-    (self-weighted) or plain summary lists weighted by ``weights``."""
+    (self-weighted) or plain summary lists weighted by ``weights``.
+    Numeric grids yield int/float estimates; byte grids (``"t": "b"``)
+    yield ``bytes`` prefixes of at most ``BYTES_PREFIX`` bytes."""
     v, w = _points(grids, weights)
     if len(v) == 0:
         return [float("nan")] * len(qs)

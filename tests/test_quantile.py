@@ -97,9 +97,21 @@ class TestEngineQuantiles:
         for want, got in zip([5000, 10000, 15000], bounds):
             assert abs(got - want) < 20_000 * 0.02
 
-    def test_non_numeric_column_raises(self, spark, snap):
+    def test_string_column_yields_byte_prefixes(self, spark, snap):
+        # strings carry byte grids since round 5 — estimates are
+        # truncated byte prefixes in lexicographic order
+        est = decode_job.quantiles(spark, snap, "s", [0.25, 0.75])
+        assert all(isinstance(e, bytes) for e in est)
+        assert est[0] <= est[1]
+
+    def test_ungridded_type_raises(self, spark, tmp_path):
+        d = str(tmp_path / "boolsnap")
+        df = spark.range(500).select(
+            F.col("id").alias("k"), (F.col("id") % 2 == 0).alias("flag"))
+        encode(spark, df, d, EncodeConfig(target_rows=250, key="k",
+                                          sort_by="k", host_from_key=False))
         with pytest.raises(ValueError):
-            decode_job.quantiles(spark, snap, "s", [0.5])
+            decode_job.quantiles(spark, d, "flag", [0.5])
 
     def test_two_stage_path_agrees(self, spark, snap, monkeypatch):
         direct = decode_job.quantiles(spark, snap, "k", [0.25, 0.75])
@@ -389,3 +401,121 @@ class TestRangeLayoutAdviceFixes:
         lin = table.append(spark, b, tdir, cfg, range_layout_on="newcol")
         assert lin["rows"] == 2000  # no crash; normal layout
         assert decode_job.decode(spark, tdir).count() == 4000
+
+
+class TestStringQuantileGrids:
+    """Byte grids (truncated-prefix order statistics, reference ByteIndex
+    semantics) + range layout on string keys — the host-locality layout a
+    web corpus actually wants."""
+
+    HOSTS = ["alpha", "beta", "delta", "epsilon", "gamma", "kappa",
+             "theta", "zeta"]
+
+    def _corpus(self, spark, n, voff=0):
+        hs = F.array(*[F.lit(h) for h in self.HOSTS])
+        return spark.range(n).select(
+            F.concat(F.lit("https://www."),
+                     F.element_at(hs, (F.col("id") % 8 + 1).cast("int")),
+                     F.lit(".example.com/p/"),
+                     F.col("id").cast("string")).alias("url"),
+            (F.col("id") + voff).alias("v"))
+
+    def test_byte_grid_math(self):
+        vals = np.array([f"k{i:05d}".encode() for i in range(1000)],
+                        dtype="S24")
+        g = q_mod.grid_from_bytes(vals, k=4)
+        assert g["t"] == "b" and g["n"] == 1000
+        est = q_mod.estimate([g], None, [0.0, 0.5, 1.0])
+        assert est == [b"k00000", b"k00500", b"k00999"]
+
+    def test_byte_grid_merge_and_summary(self):
+        a = q_mod.grid_from_bytes(
+            np.array([f"a{i:04d}".encode() for i in range(500)], dtype="S24"))
+        b = q_mod.grid_from_bytes(
+            np.array([f"b{i:04d}".encode() for i in range(500)], dtype="S24"))
+        (med,) = q_mod.estimate([a, b], None, [0.5])
+        assert med.startswith(b"a04") or med.startswith(b"b00")
+        # partial summary round-trips through JSON-safe base64
+        import json as _json
+        s, t = q_mod.merge_to_summary([a, b])
+        _json.dumps(s)  # must be JSON-serializable
+        (med2,) = q_mod.estimate([s], [t], [0.5])
+        assert abs((med2 < b"b") - (med < b"b")) <= 1
+
+    def test_string_quantiles_cdf_positions(self, spark, tmp_path):
+        import tempfile
+        df = self._corpus(spark, 8000)
+        snap = str(tmp_path / "squrl")
+        encode(spark, df, snap,
+               EncodeConfig(target_rows=1000, page_rows=250, sort_by="url",
+                            key="v", host_from_key=False))
+        qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+        est = decode_job.quantiles(spark, snap, "url", qs)
+        n = df.count()
+        for q, e in zip(qs, est):
+            assert isinstance(e, bytes)
+            colb = F.col("url").cast("binary")
+            lt = df.filter(colb < F.lit(e)).count() / n
+            sw = df.filter(colb.startswith(F.lit(e))).count() / n
+            # tie/truncation-aware: target inside [count(<p), count(<p)+
+            # count(prefix-extends p)] widened by the grid tolerance
+            assert lt <= q + 0.02, (q, e, lt)
+            assert lt + sw >= q - 0.02, (q, e, lt + sw)
+
+    def test_append_range_layout_on_url(self, spark, tmp_path):
+        from parquet2_spark.operators import table, validate
+
+        tdir = str(tmp_path / "tblurl")
+        cfg = EncodeConfig(target_rows=1000, page_rows=250, sort_by="url",
+                           key="v", host_from_key=False)
+        a = self._corpus(spark, 4000)
+        table.append(spark, a, tdir, cfg)
+        b = self._corpus(spark, 4000, voff=10_000)
+        lin = table.append(spark, b, tdir, cfg, range_layout_on="url")
+        assert lin["rows"] == 4000
+        man = table.read_manifest(tdir)
+        import os
+        ch = decode_job.chunks_df(
+            spark, os.path.join(tdir, man["snapshots"][-1]["dir"])
+        ).filter(F.col("column") == "url")
+        spans = sorted((bytes(r["min_bin"]), bytes(r["max_bin"]))
+                       for r in ch.collect())
+        assert len(spans) == 4
+        for (_, ahi), (blo, _) in zip(spans, spans[1:]):
+            assert ahi < blo  # disjoint binary spans within the delta
+        rep = validate.digest_frames(a.unionByName(b),
+                                     decode_job.decode(spark, tdir))
+        assert rep["bit_identical"], rep
+
+    def test_compact_range_layout_on_url_prunes_host_read(self, spark, tmp_path):
+        from parquet2_spark.operators import table, validate
+
+        tdir = str(tmp_path / "tblurlc")
+        cfg = EncodeConfig(target_rows=1000, page_rows=250, sort_by="url",
+                           key="v", host_from_key=False)
+        a = self._corpus(spark, 4000)
+        b = self._corpus(spark, 4000, voff=10_000)
+        table.append(spark, a, tdir, cfg, batch_key="A")
+        table.append(spark, b, tdir, cfg, batch_key="B")
+        lin = table.compact(
+            spark, tdir,
+            EncodeConfig(target_rows=2000, page_rows=500, sort_by="url",
+                         key="v", host_from_key=False),
+            range_layout_on="url")
+        assert lin["rows"] == 8000
+        # quarter-range host read touches exactly one partition: the
+        # first two hosts are 1/4 of the mass (8 hosts, uniform)
+        got = decode_job.decode(
+            spark, tdir, columns=["url", "v"],
+            key_range=("url", b"https://www.alpha",
+                       b"https://www.beta.example.com/z"))
+        assert got.count() == 2000
+        ch = decode_job.chunks_df(spark, tdir).filter(F.col("column") == "url")
+        spans = sorted((bytes(r["min_bin"]), bytes(r["max_bin"]))
+                       for r in ch.collect())
+        assert len(spans) == 4
+        for (_, ahi), (blo, _) in zip(spans, spans[1:]):
+            assert ahi < blo
+        src = a.unionByName(b)
+        rep = validate.digest_frames(src, decode_job.decode(spark, tdir))
+        assert rep["bit_identical"], rep
