@@ -734,31 +734,50 @@ def decode(
             raise ValueError("row_range requires a single-snapshot dir (not a table)")
         start, stop = int(row_range[0]), int(row_range[1])
         if "partitions" in lin:  # legacy snapshots embedded the list
-            plist = [
-                (int(p["part_id"]), int(p["rows"]))
-                for p in sorted(lin["partitions"], key=lambda x: x["part_id"])
-            ]
+            row_spans = {}
+            base = 0
+            for p in sorted(lin["partitions"], key=lambda x: x["part_id"]):
+                pid, prows = int(p["part_id"]), int(p["rows"])
+                lo = max(start - base, 0)
+                hi = min(stop - base, prows)
+                if lo < hi:
+                    row_spans[pid] = (lo, hi)
+                base += prows
         else:
-            # partition row counts from the chunk parquet (metadata-only
-            # scan of 3 columns; the lineage JSON stays O(#columns) by
-            # design — see encode_job.finalize)
+            # partition row counts from the chunk parquet, cumulated
+            # SPARK-SIDE (window cumsum over part_id) so the driver
+            # collects only the partitions whose row interval overlaps —
+            # O(surviving), never O(#partitions); at 10^6 partitions the
+            # old full collect was the read path's last driver-side
+            # materialization. The unpartitioned window is deliberate:
+            # the frame is two metadata columns, and row position is
+            # defined by global part_id order.
+            from pyspark.sql import Window
+
             first = lin["columns"][0]
-            plist = [
-                (int(r["part_id"]), int(r["n_rows"]))
-                for r in chunks_df(spark, snapshot_dir, as_of, since, filesystem)
+            w = Window.orderBy("part_id").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+            surv = (
+                chunks_df(spark, snapshot_dir, as_of, since, filesystem)
                 .filter(F.col("column") == first)
                 .select("part_id", "n_rows")
-                .orderBy("part_id")
+                .withColumn(
+                    "base", F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+                )
+                .filter(
+                    (F.col("base") < stop)
+                    & (F.col("base") + F.col("n_rows") > start)
+                )
                 .collect()
-            ]
-        row_spans = {}
-        base = 0
-        for pid, prows in plist:
-            lo = max(start - base, 0)
-            hi = min(stop - base, prows)
-            if lo < hi:
-                row_spans[pid] = (lo, hi)
-            base += prows
+            )
+            row_spans = {}
+            for r in surv:
+                pid, prows, base = int(r["part_id"]), int(r["n_rows"]), int(r["base"])
+                lo = max(start - base, 0)
+                hi = min(stop - base, prows)
+                if lo < hi:
+                    row_spans[pid] = (lo, hi)
     unknown = [c for c in cols if c not in schema_map]
     if unknown:
         raise KeyError(f"columns not in snapshot schema: {unknown} (have {sorted(schema_map)})")

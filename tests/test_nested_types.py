@@ -208,6 +208,29 @@ class TestRowRangeAndExactKeyRange:
         ks = sorted(r["k"] for r in out.collect())
         assert ks == list(range(137, 843))
 
+    def test_row_range_planning_collects_only_survivors(self, spark, snap, monkeypatch):
+        """Row-span planning is Spark-side (window cumsum): the only
+        driver collect during planning returns rows for SURVIVING
+        partitions, never all of them (the snapshot has 4; the interval
+        overlaps 1)."""
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+        from parquet2_spark.operators import decode_job
+
+        sizes = []
+        orig = _CDF.collect
+
+        def spy(self_df):
+            out = orig(self_df)
+            if "base" in self_df.columns:  # the planning frame
+                sizes.append(len(out))
+            return out
+
+        monkeypatch.setattr(_CDF, "collect", spy)
+        out = decode_job.decode(spark, snap, row_range=(600, 900))
+        assert out.count() == 300
+        assert sizes and max(sizes) == 1  # 1 surviving of 4 partitions
+
     def test_key_range_rejects_row_range_combo(self, spark, snap):
         from parquet2_spark.operators import decode_job
 
