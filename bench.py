@@ -441,6 +441,23 @@ def main() -> None:
         "vs_default_bytes": spd["enc_bytes"] / max(enc["enc_bytes"], 1),
     }
 
+    # --- warm-archive profile (brotli-10 outer): archived-but-still-read
+    # data — ~zstd-19 size at ~4× its decode speed (BASELINE.md r4 table).
+    # Benched on a 1/5 input so the slow outer doesn't dominate the wall.
+    from parquet2_spark.functions.selector import warm_archive_profile as _warm
+
+    warm_rows = max(2000, WEB_ROWS // 5)
+    warm_path = ensure_web_input(spark, warm_rows)
+    wrm = encode_run(spark, warm_path, f"warm{CPUS}", rows=warm_rows,
+                     selector=_warm())
+    queries["encode_web_warm_archive"] = round(wrm["wall_s"], 3)
+    extra["encode_warm_archive_profile"] = {
+        "rows": warm_rows,
+        "enc_bytes": wrm["enc_bytes"],
+        "ratio": wrm["enc_bytes"] / max(wrm["raw_bytes"], 1),
+        "gbps": wrm["gbps"],
+    }
+
     from parquet2_spark.operators import decode_job, validate
 
     t0 = time.time()

@@ -90,6 +90,16 @@ def archival_profile() -> SelectorConfig:
     return SelectorConfig(outer_level=19)
 
 
+def warm_archive_profile() -> SelectorConfig:
+    """Read-heavy archival consumers: brotli-10 outer — measured on the
+    web corpus (BASELINE.md round-4 table): within ~4% of zstd-19's size
+    while DECODING ~4× faster, at ~half zstd-19's encode cost. The pick
+    for archived data that still gets regular scan traffic; cold data
+    nobody reads stays on ``archival_profile()`` (zstd-19, smallest),
+    hot interactive data on the default zstd-2."""
+    return SelectorConfig(outer="brotli", outer_level=10)
+
+
 def shortlist(st: BatchStats, kind: str, is_float: bool, cfg: SelectorConfig = DEFAULT) -> list[int]:
     """Heuristic candidate codecs, cheapest-to-encode first."""
     m = st.nonnull
