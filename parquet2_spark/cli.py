@@ -63,16 +63,18 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--page-rows", type=int, default=8_192)
     sp.add_argument("--batch-key", default=None,
                     help="idempotency key: a keyed retry resumes or short-circuits")
-    sp.add_argument("--range-layout-on", default=None, metavar="COL",
-                    help="lay the batch out by RANGE of this numeric column "
-                         "using the table's quantile grids")
+    sp.add_argument("--range-layout-on", default=None, metavar="COL[,COL...]",
+                    help="lay the batch out by RANGE of this column using the "
+                         "table's quantile grids (numeric/temporal/string); "
+                         "extra comma-separated columns sort within buckets")
     sp = sub.add_parser("compact")
     sp.add_argument("table")
     sp.add_argument("--keep-old", action="store_true",
                     help="keep old snapshot dirs (external time-travel archival)")
-    sp.add_argument("--range-layout-on", default=None, metavar="COL",
-                    help="lay the rewrite out by RANGE of this numeric column "
-                         "using the table's quantile grids (disjoint zone maps)")
+    sp.add_argument("--range-layout-on", default=None, metavar="COL[,COL...]",
+                    help="lay the rewrite out by RANGE of this column using the "
+                         "table's quantile grids (disjoint zone maps; extra "
+                         "comma-separated columns sort within buckets)")
     sp = sub.add_parser("vacuum")
     sp.add_argument("table")
     sp.add_argument("--older-than", type=float, default=86400.0, metavar="SECONDS",
@@ -167,7 +169,9 @@ def main(argv: list[str] | None = None) -> int:
             args.table,
             EncodeConfig(target_rows=args.target_rows, page_rows=args.page_rows),
             batch_key=args.batch_key,
-            range_layout_on=args.range_layout_on,
+            range_layout_on=(tuple(args.range_layout_on.split(","))
+                             if args.range_layout_on and "," in args.range_layout_on
+                             else args.range_layout_on),
         )
         man = read_manifest(args.table)
         print(
@@ -184,7 +188,9 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.table import compact, read_manifest
 
         lin = compact(spark, args.table, keep_old=args.keep_old,
-                      range_layout_on=args.range_layout_on)
+                      range_layout_on=(tuple(args.range_layout_on.split(","))
+                                       if args.range_layout_on and "," in args.range_layout_on
+                                       else args.range_layout_on))
         man = read_manifest(args.table)
         print(json.dumps({
             "snapshot_id": man["current"],

@@ -705,6 +705,14 @@ def encode(
             else F.count(F.lit(1))
         )
         aggs.append(n_parts_agg.alias("n_parts"))
+        # per-partition weight telemetry for layout-drift detection
+        # (one chunk row per partition for the designated column, so its
+        # max n_rows IS the heaviest partition) — O(1) driver scalars
+        if columns:
+            aggs.append(
+                F.max(F.when(F.col("column") == columns[0], F.col("n_rows")))
+                .alias("max_part_rows")
+            )
         metrics_df = metrics_df.observe(obs, *aggs)
 
     # The job's one action STREAMS the per-partition metrics rows to a
@@ -743,7 +751,11 @@ def encode(
                     {x for s in vals[f"codecs_{i}"] for x in s.split(",")}
                 ),
             }
-        precomputed = (per_col, int(vals.get("n_parts") or 0))
+        precomputed = (
+            per_col,
+            int(vals.get("n_parts") or 0),
+            int(vals.get("max_part_rows") or 0),
+        )
 
     return finalize(
         spark, snapshot_dir, cfg, columns, df, n_parts, time.time() - t0,
@@ -782,8 +794,9 @@ def finalize(
     )
     per_col: dict[str, dict] = {}
     n_committed = 0
+    max_part_rows = 0
     if precomputed is not None:
-        per_col, n_committed = precomputed
+        per_col, n_committed, max_part_rows = precomputed
     elif have_chunks and cfg.filesystem is None:
         ch = spark.read.parquet(os.path.join(snapshot_dir, "chunks")).select(
             "part_id", "column", "codecs", "raw_bytes", "enc_bytes", "n_rows"
@@ -798,6 +811,7 @@ def finalize(
                     F.array_distinct(F.flatten(F.collect_list(F.split("codecs", ","))))
                 ).alias("codecs"),
                 F.countDistinct("part_id").alias("n_parts"),
+                F.max("n_rows").alias("max_part_rows"),
             )
             .collect()
         )
@@ -809,6 +823,7 @@ def finalize(
                 "codecs": sorted(set(r["codecs"])),
             }
             n_committed = max(n_committed, int(r["n_parts"]))
+            max_part_rows = max(max_part_rows, int(r["max_part_rows"] or 0))
     elif have_chunks:
         # custom metadata-plane filesystem: Spark cannot address the
         # path, so prune to the metric columns (parquet columnar —
@@ -823,6 +838,7 @@ def finalize(
                 ("raw_bytes", "sum"),
                 ("enc_bytes", "sum"),
                 ("n_rows", "sum"),
+                ("n_rows", "max"),
                 ("part_id", "count_distinct"),
                 ("codecs", "distinct"),
             ]
@@ -835,6 +851,7 @@ def finalize(
                 "codecs": sorted({c for s in r["codecs_distinct"] for c in s.split(",")}),
             }
             n_committed = max(n_committed, int(r["part_id_count_distinct"]))
+            max_part_rows = max(max_part_rows, int(r["n_rows_max"] or 0))
 
     lineage = {
         "snapshot": snapshot_dir,
@@ -850,6 +867,7 @@ def finalize(
         "columns": columns,
         "n_partitions_planned": n_parts,
         "n_partitions_committed": n_committed,
+        "max_partition_rows": max_part_rows,
         "resumed_partitions_skipped": resumed_parts,
         "rows": max((a["n_rows"] for a in per_col.values()), default=0),
         "raw_bytes": sum(a["raw_bytes"] for a in per_col.values()),

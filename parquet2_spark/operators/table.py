@@ -266,7 +266,7 @@ def _range_layout(
     df: DataFrame,
     table_dir: str,
     cfg: EncodeConfig,
-    column: str,
+    column,
     n_rows: int,
 ):
     """Lay ``df`` out by range of ``column`` using split points from the
@@ -274,13 +274,20 @@ def _range_layout(
     bucket expression → ``EncodeConfig.partition_column`` for an EXACT
     value→partition mapping, sort key prefixed with the layout column.
     Returns (df_with_bucket, encode_cfg). Raises ValueError when the
-    table carries no grids for the column."""
+    table carries no grids for the column.
+
+    ``column`` may be a tuple — composite layout, e.g. ``("host",
+    "warc_ts")``, the natural crawl order: grid bounds partition on the
+    PRIMARY (first) column only; the remaining columns become the
+    within-bucket secondary sort. Disjointness holds on the primary."""
     from dataclasses import replace as _replace
 
     from pyspark.sql import functions as F
 
     from . import decode_job
 
+    layout_cols = [column] if isinstance(column, str) else list(column)
+    column = layout_cols[0]  # grids partition on the primary only
     n_parts = max(1, -(-int(n_rows) // cfg.target_rows))  # ceil
     bounds = decode_job.range_bounds(
         spark, table_dir, column, n_parts, filesystem=cfg.filesystem
@@ -315,8 +322,7 @@ def _range_layout(
     sort_cols = (
         [cfg.sort_by] if isinstance(cfg.sort_by, str) else list(cfg.sort_by or [])
     )
-    if column not in sort_cols:
-        sort_cols = [column] + sort_cols
+    sort_cols = layout_cols + [c for c in sort_cols if c not in layout_cols]
     return (
         df.withColumn("_p2s_bucket", bucket),
         _replace(
@@ -360,12 +366,14 @@ def append(
     cfg: EncodeConfig | None = None,
     resume: bool = True,
     batch_key: str | None = None,
-    range_layout_on: str | None = None,
+    range_layout_on: str | tuple | None = None,
 ) -> dict:
     """Encode ``df`` as the table's next snapshot and commit it.
 
-    ``range_layout_on=<numeric column>`` lays the NEW batch out by range
-    split points derived from the TABLE'S existing quantile grids — the
+    ``range_layout_on=<column or tuple>`` lays the NEW batch out by range
+    split points derived from the TABLE'S existing quantile grids
+    (numeric/temporal/string keys; a tuple gives a composite layout —
+    grid buckets on the first column, within-bucket sort on the rest) — the
     incremental sort-order story: every delta lands range-clustered by
     the same distribution, zone maps stay maximally prunable, and no
     sampling scan of the batch is ever taken (first append, with no
@@ -498,7 +506,7 @@ def compact(
     table_dir: str,
     cfg: EncodeConfig | None = None,
     keep_old: bool = False,
-    range_layout_on: str | None = None,
+    range_layout_on: str | tuple | None = None,
 ) -> dict:
     """Rewrite every committed snapshot into one fresh snapshot (the
     Iceberg `rewrite_data_files` maintenance op): many small appends →
@@ -507,7 +515,7 @@ def compact(
     snapshot dirs are removed afterwards (or kept with ``keep_old`` for
     external time-travel archival).
 
-    ``range_layout_on=<numeric column>`` lays the rewrite out by RANGE of
+    ``range_layout_on=<column or tuple>`` lays the rewrite out by RANGE of
     that column using split points from the table's own quantile grids —
     metadata-only planning (no sampling scan of 100 TB), a bucket
     expression instead of the encode job's hash shuffle, and DISJOINT
@@ -674,3 +682,37 @@ def vacuum(table_dir: str, older_than_s: float = 86400.0, filesystem=None) -> li
     finally:
         _release_manifest_lock(fs, lock)
     return deleted
+
+
+def layout_drift(table_dir: str, filesystem=None) -> float | None:
+    """Bucket-balance drift of the CURRENT table: max partition weight
+    over mean partition weight, from lineage metadata only (each
+    snapshot's ``max_partition_rows`` rides the encode job's observed
+    metrics — zero extra jobs, O(#snapshots) driver work).
+
+    1.0 is perfectly equal-weight range layout; repeated skewed
+    ``append(range_layout_on=)`` deltas push it up because each delta
+    reuses bounds from the table's historical grids. A ``compact(...,
+    range_layout_on=)`` re-derives bounds from the merged grids and
+    re-equalizes. None when any snapshot's lineage predates the field."""
+    from . import decode_job
+
+    man = read_manifest(table_dir, filesystem)
+    if not man or not man["snapshots"]:
+        return None
+    total_rows = total_parts = 0
+    mx = 0
+    for s in man["snapshots"]:
+        lin = decode_job.lineage(
+            os.path.join(table_dir, s["dir"]), filesystem=filesystem
+        )
+        m = lin.get("max_partition_rows")
+        n = lin.get("n_partitions_committed")
+        if m is None or not n:
+            return None
+        mx = max(mx, int(m))
+        total_rows += int(lin["rows"])
+        total_parts += int(n)
+    if total_parts == 0 or total_rows == 0:
+        return None
+    return mx / (total_rows / total_parts)

@@ -519,3 +519,75 @@ class TestStringQuantileGrids:
         src = a.unionByName(b)
         rep = validate.digest_frames(src, decode_job.decode(spark, tdir))
         assert rep["bit_identical"], rep
+
+
+class TestCompositeLayoutAndDrift:
+    def test_composite_range_layout_host_ts(self, spark, tmp_path):
+        """(host, ts) composite — grid buckets on host, time-ordered
+        within: quarter-range host read touches 1 partition and its rows
+        come back ts-sorted (the natural crawl layout)."""
+        from parquet2_spark.operators import table
+
+        hosts = ["aaa", "bbb", "ccc", "ddd"]
+        hs = F.array(*[F.lit(h) for h in hosts])
+        mk = lambda n, off: spark.range(n).select(
+            F.element_at(hs, (F.col("id") % 4 + 1).cast("int")).alias("h"),
+            F.timestamp_micros((F.col("id") * 7919) % 100_000_000).alias("t"),
+            (F.col("id") + off).alias("v"))
+        tdir = str(tmp_path / "tblcomp")
+        cfg = EncodeConfig(target_rows=1000, page_rows=250,
+                           sort_by=("h", "t"), key="v", host_from_key=False)
+        table.append(spark, mk(4000, 0), tdir, cfg, batch_key="A")
+        table.append(spark, mk(4000, 10_000), tdir, cfg, batch_key="B")
+        table.compact(spark, tdir,
+                      EncodeConfig(target_rows=2000, page_rows=500,
+                                   sort_by=("h", "t"), key="v",
+                                   host_from_key=False),
+                      range_layout_on=("h", "t"))
+        # disjoint primary spans
+        ch = decode_job.chunks_df(spark, tdir).filter(F.col("column") == "h")
+        spans = sorted((bytes(r["min_bin"]), bytes(r["max_bin"]))
+                       for r in ch.collect())
+        # a 4-value primary is knife-edge for exact quantile ties — the
+        # invariants that matter: multiple DISJOINT buckets (primary
+        # clustering held) and exact reads
+        assert 3 <= len(spans) <= 4, spans
+        for (_, ahi), (blo, _) in zip(spans, spans[1:]):
+            assert ahi < blo
+        # one-host read: exact rows, ts-ordered within its bucket
+        got = decode_job.decode(spark, tdir, columns=["h", "t"],
+                                key_range=("h", b"ccc", b"ccc"))
+        rows = got.collect()
+        assert len(rows) == 2000 and {r["h"] for r in rows} == {"ccc"}
+        ts = [r["t"] for r in rows]
+        assert ts == sorted(ts)  # secondary sort held inside the bucket
+
+    def test_layout_drift_metric_and_compact_requalizes(self, spark, tmp_path):
+        """Repeated skewed deltas laid out by the table's HISTORICAL
+        grids drift from equal-weight; layout_drift() exposes it from
+        lineage metadata only, and compact(range_layout_on=) re-derives
+        bounds from the merged grids and re-equalizes."""
+        from parquet2_spark.operators import table
+
+        tdir = str(tmp_path / "tbldrift")
+        cfg = EncodeConfig(target_rows=1000, sort_by="k", key="v",
+                           host_from_key=False)
+        base = spark.range(4000).select(F.col("id").alias("k"),
+                                        F.col("id").alias("v"))
+        table.append(spark, base, tdir, cfg)
+        d0 = table.layout_drift(tdir)
+        assert d0 is not None and d0 <= 1.2  # balanced base
+        # skewed delta: all mass in the top quartile of the OLD range —
+        # historical bounds put ~everything in the last bucket
+        skew = spark.range(4000).select(
+            (F.col("id") % 1000 + 3000).alias("k"),
+            (F.col("id") + 50_000).alias("v"))
+        table.append(spark, skew, tdir, cfg, range_layout_on="k")
+        d1 = table.layout_drift(tdir)
+        assert d1 is not None and d1 > 1.5, d1  # drifted
+        table.compact(spark, tdir,
+                      EncodeConfig(target_rows=1000, sort_by="k", key="v",
+                                   host_from_key=False),
+                      range_layout_on="k")
+        d2 = table.layout_drift(tdir)
+        assert d2 is not None and d2 <= 1.3, d2  # re-equalized
