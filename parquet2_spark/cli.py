@@ -75,6 +75,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="lay the rewrite out by RANGE of this column using the "
                          "table's quantile grids (disjoint zone maps; extra "
                          "comma-separated columns sort within buckets)")
+    sp = sub.add_parser("drift")
+    sp.add_argument("table")
     sp = sub.add_parser("vacuum")
     sp.add_argument("table")
     sp.add_argument("--older-than", type=float, default=86400.0, metavar="SECONDS",
@@ -115,6 +117,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.cmd == "rowcount":
         print(decode_job.lineage(args.snapshot)["rows"])
+        return 0
+    if args.cmd == "drift":
+        from .operators.table import layout_drift
+
+        d = layout_drift(args.table)
+        print(json.dumps({"layout_drift": d}))
         return 0
     if args.cmd == "vacuum":
         from .operators.table import vacuum

@@ -212,3 +212,24 @@ def test_cli_quantiles(spark, tmp_path_factory):
     assert rc == 0
     rep = _json.loads(buf.getvalue().strip().splitlines()[-1])
     assert abs(rep["quantiles"]["0.5"] - 2000) < 4000 * 0.02
+
+
+def test_cli_drift(spark, tmp_path_factory):
+    import json as _json
+
+    from parquet2_spark import cli
+    from parquet2_spark.operators import table
+    from parquet2_spark.operators.encode_job import EncodeConfig
+    import io, contextlib
+
+    tdir = str(tmp_path_factory.mktemp("cli_drift"))
+    cfg = EncodeConfig(target_rows=1000, key="k", sort_by="k",
+                       host_from_key=False)
+    table.append(spark, spark.range(4000).select(F.col("id").alias("k")),
+                 tdir, cfg)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main(["drift", tdir])
+    assert rc == 0
+    rep = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["layout_drift"] is not None and rep["layout_drift"] >= 1.0
