@@ -75,6 +75,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="lay the rewrite out by RANGE of this column using the "
                          "table's quantile grids (disjoint zone maps; extra "
                          "comma-separated columns sort within buckets)")
+    sp.add_argument("--local-merge", choices=["auto", "on", "off"], default="auto",
+                    help="exchange-free compaction plan (per-bucket merge of "
+                         "overlapping chunk files; payload never crosses a "
+                         "shuffle). auto: used when the zone-map plan fan-out "
+                         "shows range-local inputs")
     sp = sub.add_parser("drift")
     sp.add_argument("table")
     sp = sub.add_parser("vacuum")
@@ -198,12 +203,15 @@ def main(argv: list[str] | None = None) -> int:
         lin = compact(spark, args.table, keep_old=args.keep_old,
                       range_layout_on=(tuple(args.range_layout_on.split(","))
                                        if args.range_layout_on and "," in args.range_layout_on
-                                       else args.range_layout_on))
+                                       else args.range_layout_on),
+                      local_merge={"auto": None, "on": True, "off": False}[
+                          args.local_merge])
         man = read_manifest(args.table)
         print(json.dumps({
             "snapshot_id": man["current"],
             "rows": lin["rows"],
             "enc_bytes": lin["enc_bytes"],
+            "compaction_path": lin["compaction_path"],
         }))
         return 0
     if args.cmd == "decode":

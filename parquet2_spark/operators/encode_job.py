@@ -141,6 +141,12 @@ class EncodeConfig:
     # RangePartitioner boundaries come from samples). The column is
     # excluded from the encoded schema.
     partition_column: str | None = None
+    # rows already arrive partition-contiguous AND sorted by sort_by
+    # (requires partition_column): skip the encode job's exchange and
+    # Tungsten sort entirely — the merge-compaction path delivers rows
+    # this way (operators/merge_compact.py), so the payload never
+    # crosses a shuffle
+    prearranged: bool = False
     host_sample_fraction: float = 1.0  # <1: sample-based hot-host counts
     # per-chunk split-block bloom filters for these columns (values hashed
     # JVM-side with xxhash64 before the shuffle; probed by decode key_eq)
@@ -615,9 +621,15 @@ def encode(
         jvm_sort = [
             F.col(c).asc_nulls_last() for c in sort_cols if c in planned.columns
         ]
-        arranged = planned.repartition("_part_id").sortWithinPartitions(
-            F.col("_part_id").asc(), *jvm_sort
-        )
+        if cfg.prearranged:
+            # caller guarantees rows are already _part_id-contiguous and
+            # sorted (merge-compaction): no exchange, no Tungsten sort —
+            # run_sorted's group splitter works off contiguity alone
+            arranged = planned
+        else:
+            arranged = planned.repartition("_part_id").sortWithinPartitions(
+                F.col("_part_id").asc(), *jvm_sort
+            )
 
         def run_sorted(batches):
             bufs: list = []

@@ -334,6 +334,71 @@ def _range_layout(
     )
 
 
+def _local_merge_source(
+    spark: SparkSession,
+    table_dir: str,
+    cfg: EncodeConfig,
+    column,
+    snap_dir: str,
+    force: bool = False,
+):
+    """Build the exchange-free compaction source (merge_compact module):
+    (source_df, enc_cfg) — or None to fall back to the shuffle plan
+    (no grids for the column, unsupported key type, or plan fan-out over
+    the limit when not forced)."""
+    from dataclasses import replace as _replace
+
+    from pyspark.sql import functions as F
+
+    from . import decode_job, merge_compact
+    from .encode_job import committed_parts
+
+    layout_cols = [column] if isinstance(column, str) else list(column)
+    primary = layout_cols[0]
+    lin = decode_job.lineage(table_dir, filesystem=cfg.filesystem)
+    n_parts = max(1, -(-int(lin["rows"]) // cfg.target_rows))  # ceil
+    try:
+        bounds = decode_job.range_bounds(
+            spark, table_dir, primary, n_parts, filesystem=cfg.filesystem
+        )
+    except (ValueError, KeyError):
+        return None  # no grids / column unknown — shuffle path handles it
+    snaps = snapshot_dirs(table_dir, filesystem=cfg.filesystem)
+    plan_df = merge_compact.plan(
+        spark, snaps, primary, bounds, filesystem=cfg.filesystem
+    )
+    if plan_df is None:
+        return None  # key type without an exact stats column (decimal)
+    if not force and merge_compact.fanout(plan_df) > merge_compact.FANOUT_LIMIT:
+        return None  # inputs not range-local — the shuffle reads each byte once
+    already = committed_parts(snap_dir, cfg.filesystem)
+    if already:
+        # resume: drop committed buckets from the PLAN, so their input
+        # files are never even opened (the encode-side _part_id filter
+        # stays as a second line of defense)
+        plan_df = plan_df.filter(
+            ~F.col("bucket").isin([int(p) for p in already])
+        )
+    sort_cols = (
+        [cfg.sort_by] if isinstance(cfg.sort_by, str) else list(cfg.sort_by or [])
+    )
+    sort_cols = layout_cols + [c for c in sort_cols if c not in layout_cols]
+    src = merge_compact.source(
+        spark, plan_df, primary, bounds, sort_cols, n_parts,
+        lin["schema"], lin["columns"], filesystem=cfg.filesystem,
+    )
+    return (
+        src,
+        _replace(
+            cfg,
+            partition_column="_p2s_bucket",
+            num_partitions=n_parts,
+            sort_by=tuple(sort_cols),
+            prearranged=True,
+        ),
+    )
+
+
 def _check_additive_schema(fs, root: str, man: dict, new_schema: dict, exc) -> None:
     """Enforce additive schema evolution (Iceberg add-column) against the
     LAST snapshot recorded in ``man``: every existing column must keep its
@@ -507,6 +572,7 @@ def compact(
     cfg: EncodeConfig | None = None,
     keep_old: bool = False,
     range_layout_on: str | tuple | None = None,
+    local_merge: bool | None = None,
 ) -> dict:
     """Rewrite every committed snapshot into one fresh snapshot (the
     Iceberg `rewrite_data_files` maintenance op): many small appends →
@@ -521,7 +587,19 @@ def compact(
     expression instead of the encode job's hash shuffle, and DISJOINT
     per-partition zone maps on the column, so post-compaction range/point
     reads prune maximally. The target partition count comes from
-    ``cfg.target_rows`` against the table's row count."""
+    ``cfg.target_rows`` against the table's row count.
+
+    ``local_merge`` picks the EXCHANGE-FREE compaction plan (see
+    operators/merge_compact.py): per-bucket Arrow tasks read only their
+    overlapping input chunk files (planned from chunk zone maps —
+    metadata only), merge + sort locally, and feed the encode job's
+    prearranged path — no row ever crosses a shuffle. ``None`` (default)
+    auto-selects it when ``range_layout_on`` is set and the measured
+    plan fan-out (avg output buckets per input file) stays under
+    ``merge_compact.FANOUT_LIMIT`` — i.e. when the inputs are already
+    range-laid-out deltas; un-laid-out inputs whose partitions span the
+    whole key space fall back to the shuffle plan, which reads each
+    input byte exactly once."""
     from . import decode_job
 
     if cfg is None:
@@ -550,18 +628,30 @@ def compact(
         _release_manifest_lock(fs, lock)
     snap_dir = os.path.join(table_dir, snap_name)
 
-    df = decode_job.decode(spark, table_dir, filesystem=cfg.filesystem)
-    enc_cfg = cfg
-    if range_layout_on is not None:
-        # bucket by the sketch bounds — handed to encode as the EXACT
-        # partition id (partition_column), so every bucket is its own
-        # partition (repartitionByRange over a handful of distinct bucket
-        # values under-splits: RangePartitioner boundaries are sampled)
-        df, enc_cfg = _range_layout(
-            spark, df, table_dir, cfg, range_layout_on,
-            sum(s["rows"] for s in man["snapshots"]),
+    df = enc_cfg = None
+    used_local_merge = False
+    if range_layout_on is not None and local_merge is not False:
+        src = _local_merge_source(
+            spark, table_dir, cfg, range_layout_on, snap_dir,
+            force=bool(local_merge),
         )
+        if src is not None:
+            df, enc_cfg = src
+            used_local_merge = True
+    if df is None:
+        df = decode_job.decode(spark, table_dir, filesystem=cfg.filesystem)
+        enc_cfg = cfg
+        if range_layout_on is not None:
+            # bucket by the sketch bounds — handed to encode as the EXACT
+            # partition id (partition_column), so every bucket is its own
+            # partition (repartitionByRange over a handful of distinct bucket
+            # values under-splits: RangePartitioner boundaries are sampled)
+            df, enc_cfg = _range_layout(
+                spark, df, table_dir, cfg, range_layout_on,
+                sum(s["rows"] for s in man["snapshots"]),
+            )
     lin = encode(spark, df, snap_dir, enc_cfg, resume=True)
+    lin["compaction_path"] = "local_merge" if used_local_merge else "shuffle"
 
     compacted_ids = {s["id"] for s in man["snapshots"]}
     # batch keys of everything absorbed ride along so a late keyed retry
