@@ -39,32 +39,62 @@ os.makedirs(base)
 tdir = os.path.join(base, "tbl")
 
 cfg = EncodeConfig(target_rows=131_072, page_rows=8_192, host_sample_fraction=0.1)
+
+# The scenario the local plan targets: a range-laid-out table plus
+# range-laid-out deltas (the steady state of append(range_layout_on=)).
+# Build it faithfully: first batch (no grids yet) → one layout compaction
+# → two laid-out deltas. The un-timed compaction also warms the whole
+# encode path, so the timed runs below start JIT-hot.
 third = rows // 3
-for i, (lo, hi) in enumerate([(0, third), (third, 2 * third), (2 * third, rows)]):
+df = webgen.webpages_range_df(spark, 0, third, partitions=64)
+p = os.path.join(base, "in_0")
+df.write.mode("overwrite").parquet(p)
+table.append(spark, spark.read.parquet(p), tdir, cfg)
+table.compact(spark, tdir, cfg, range_layout_on="url")
+for i, (lo, hi) in enumerate([(third, 2 * third), (2 * third, rows)], start=1):
     df = webgen.webpages_range_df(spark, lo, hi, partitions=64)
     p = os.path.join(base, f"in_{i}")
     df.write.mode("overwrite").parquet(p)
     table.append(spark, spark.read.parquet(p), tdir, cfg,
-                 range_layout_on="url" if i else None)
+                 range_layout_on="url")
 
-tdir2 = os.path.join(base, "tbl_shuffle")
-shutil.copytree(tdir, tdir2)
+# Alternate paths on fresh copies of the pristine table, min-of-2 per
+# path: host noise only ever ADDS wall, and alternation cancels any
+# residual warm-up bias between the two paths.
+walls = {"local_merge": [], "shuffle": []}
+lins = {}
+for rep in range(2):
+    for mode, flag in (("shuffle", False), ("local_merge", True)):
+        tcopy = os.path.join(base, f"run_{mode}_{rep}")
+        shutil.copytree(tdir, tcopy)
+        t0 = time.time()
+        lin = table.compact(spark, tcopy, cfg, range_layout_on="url",
+                            local_merge=flag)
+        walls[mode].append(time.time() - t0)
+        assert lin["compaction_path"] == mode, (mode, lin["compaction_path"])
+        lins[mode] = lin
+        shutil.rmtree(tcopy, ignore_errors=True)
 
-t0 = time.time()
-lin_l = table.compact(spark, tdir, cfg, range_layout_on="url")
-wall_local = time.time() - t0
-t0 = time.time()
-lin_s = table.compact(spark, tdir2, cfg, range_layout_on="url",
-                      local_merge=False)
-wall_shuffle = time.time() - t0
+from parquet2_spark.operators import decode_job, merge_compact  # noqa: E402
 
+lin = decode_job.lineage(tdir)
+n_parts = max(1, -(-int(lin["rows"]) // cfg.target_rows))
+bounds = decode_job.range_bounds(spark, tdir, "url", n_parts)
+fan = merge_compact.fanout(merge_compact.plan(
+    spark, table.snapshot_dirs(tdir), "url", bounds))
+
+wall_local = min(walls["local_merge"])
+wall_shuffle = min(walls["shuffle"])
 print(json.dumps({
-    "rows": lin_l["rows"],
-    "path_auto": lin_l["compaction_path"],
+    "rows": lins["local_merge"]["rows"],
+    "plan_fanout": round(fan, 2),
     "wall_local_s": round(wall_local, 2),
     "wall_shuffle_s": round(wall_shuffle, 2),
     "speedup": round(wall_shuffle / wall_local, 3),
-    "enc_bytes_local": lin_l["enc_bytes"],
-    "enc_bytes_shuffle": lin_s["enc_bytes"],
-    "bytes_equal": lin_l["enc_bytes"] == lin_s["enc_bytes"],
+    "walls_local": [round(w, 2) for w in walls["local_merge"]],
+    "walls_shuffle": [round(w, 2) for w in walls["shuffle"]],
+    "enc_bytes_local": lins["local_merge"]["enc_bytes"],
+    "enc_bytes_shuffle": lins["shuffle"]["enc_bytes"],
+    "bytes_equal": (lins["local_merge"]["enc_bytes"]
+                    == lins["shuffle"]["enc_bytes"]),
 }))

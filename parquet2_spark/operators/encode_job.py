@@ -141,12 +141,6 @@ class EncodeConfig:
     # RangePartitioner boundaries come from samples). The column is
     # excluded from the encoded schema.
     partition_column: str | None = None
-    # rows already arrive partition-contiguous AND sorted by sort_by
-    # (requires partition_column): skip the encode job's exchange and
-    # Tungsten sort entirely — the merge-compaction path delivers rows
-    # this way (operators/merge_compact.py), so the payload never
-    # crosses a shuffle
-    prearranged: bool = False
     host_sample_fraction: float = 1.0  # <1: sample-based hot-host counts
     # per-chunk split-block bloom filters for these columns (values hashed
     # JVM-side with xxhash64 before the shuffle; probed by decode key_eq)
@@ -379,12 +373,16 @@ def _encode_partition_arrow(
     columns: list[str],
     target_schema: pa.Schema,
     presorted: bool = False,
+    ndv_override: dict | None = None,
 ) -> pa.Table:
     """Pure-Arrow partition encoder: no pandas objects are ever
     materialized (the pandas round-trip costs allocation storms that
     throttle concurrent workers). ``presorted=True`` skips the Arrow
     sort+gather — the caller already delivered rows in sort_by order
-    (the JVM-sorted encode path)."""
+    (the JVM-sorted encode path). ``ndv_override`` supplies per-column
+    HLL sketches directly (bytes or None) when the caller has no JVM
+    hash columns — the fused merge-compaction path merges the INPUT
+    chunks' sketches instead (operators/merge_compact.py)."""
     import pyarrow.compute as pc
 
     t0 = time.time()
@@ -432,11 +430,14 @@ def _encode_partition_arrow(
             bloom_bytes = bloom_mod.build(hv, fpp=cfg.bloom_fpp)
         ndv_hll = None
         if cfg.ndv_sketch and n:
-            from ..plans import hll as hll_mod
+            if ndv_override is not None:
+                ndv_hll = ndv_override.get(col)
+            else:
+                from ..plans import hll as hll_mod
 
-            hn = hv if hv is not None else _hashes(f"_nh_{col}")
-            if hn is not None:
-                ndv_hll = hll_mod.sketch_from_hashes(hn)
+                hn = hv if hv is not None else _hashes(f"_nh_{col}")
+                if hn is not None:
+                    ndv_hll = hll_mod.sketch_from_hashes(hn)
         jmins = [_jstat(v, round_up=False) for v in meta.page_mins]
         jmaxs = [_jstat(v, round_up=True) for v in meta.page_maxs]
         rows.append(
@@ -621,15 +622,9 @@ def encode(
         jvm_sort = [
             F.col(c).asc_nulls_last() for c in sort_cols if c in planned.columns
         ]
-        if cfg.prearranged:
-            # caller guarantees rows are already _part_id-contiguous and
-            # sorted (merge-compaction): no exchange, no Tungsten sort —
-            # run_sorted's group splitter works off contiguity alone
-            arranged = planned
-        else:
-            arranged = planned.repartition("_part_id").sortWithinPartitions(
-                F.col("_part_id").asc(), *jvm_sort
-            )
+        arranged = planned.repartition("_part_id").sortWithinPartitions(
+            F.col("_part_id").asc(), *jvm_sort
+        )
 
         def run_sorted(batches):
             bufs: list = []
@@ -679,6 +674,29 @@ def encode(
 
         metrics_df = planned.mapInArrow(run_map, CHUNK_SCHEMA)
 
+    return commit_metrics_action(
+        spark, metrics_df, snapshot_dir, cfg, columns, df, n_parts, t0,
+        len(already),
+    )
+
+
+def commit_metrics_action(
+    spark: SparkSession,
+    metrics_df: DataFrame,
+    snapshot_dir: str,
+    cfg: EncodeConfig,
+    columns: list[str],
+    df: DataFrame,
+    n_parts: int,
+    t0: float,
+    n_resumed: int,
+) -> dict:
+    """Run the encode job's ONE action over its metric-row frame (the
+    partition encoders write chunk parquet + commit markers as side
+    effects inside the UDF) and finalize lineage. Shared by the shuffle
+    encode path and the fused merge-compaction path
+    (operators/merge_compact.py), so both commit identically. ``df`` is
+    only consulted for dtypes (lineage schema)."""
     # When THIS job's metric rows provably cover the whole snapshot
     # (fresh dir, nothing resumed), the lineage aggregates ride the job's
     # own action as observed metrics — per-column conditional aggregates
@@ -687,7 +705,7 @@ def encode(
     # of the chunk parquet (the authoritative store).
     fs0, root0 = fsio.resolve(snapshot_dir, cfg.filesystem)
     chunks0 = fsio.join(root0, "chunks")
-    fresh = not already and not (
+    fresh = not n_resumed and not (
         fsio.is_dir(fs0, chunks0)
         and any(f.endswith(".parquet") for f in fsio.listdir(fs0, chunks0))
     )
@@ -771,7 +789,7 @@ def encode(
 
     return finalize(
         spark, snapshot_dir, cfg, columns, df, n_parts, time.time() - t0,
-        len(already), precomputed=precomputed,
+        n_resumed, precomputed=precomputed,
     )
 
 

@@ -11,14 +11,24 @@ really a per-bucket merge of a few sorted runs.
 
 This module plans ``bucket ← overlapping input chunk files`` from CHUNK
 ZONE MAPS ONLY (stats columns of the chunks parquet — no payload bytes
-are read during planning), then runs ONE Arrow task per output bucket
-that reads just its overlapping chunk files directly from the store,
-merges + sorts them, and hands the merged run to the standard encode
-path (``EncodeConfig.prearranged``: the encode job sees rows already
-bucket-contiguous and sorted, so it neither exchanges nor re-sorts).
-The only shuffle in the whole plan moves METADATA rows (bucket ids +
-part ids); the payload never crosses an exchange, never materializes as
-JVM rows, and is read at most once per overlapping bucket.
+are read during planning), then runs ONE FUSED Arrow task per output
+bucket that reads just its overlapping chunk files directly from the
+store, prunes to the bucket's pages via the PAGE INDEX (inputs are
+key-sorted, so a bucket's rows are a contiguous page span — pages
+outside it are never decoded), merges + sorts, and ENCODES the output
+partition in the same task via ``_encode_partition_arrow``. The
+payload therefore NEVER enters the JVM: it goes chunk file → Arrow →
+chunk file inside one Python worker. The only thing Spark moves is
+metadata — plan rows in (bucket ids + part ids, grouped by an exchange
+over a few thousand rows) and chunk metric rows out. NDV sketches
+cannot be re-hashed without the JVM (probe-time uses Spark's
+``xxhash64``), so the output chunk's sketch is the HLL register-max
+MERGE of its input chunks' sketches: per-chunk it over-approximates
+(inputs include rows routed to sibling buckets) but the table-level
+union — what ``stats()`` reports — is unchanged, because every input
+row lands in some bucket. Split-block blooms are NOT mergeable across
+different sizings, so tables with ``bloom_columns`` fall back to the
+shuffle plan (gated in table._local_merge_compact).
 
 Reference parity: the reference has no table maintenance at all (one
 file per writer, reference/src/write/mod.rs) — this is beyond-reference
@@ -28,6 +38,8 @@ metadata-only planning (no sampling scan, no driver-side file list).
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -35,9 +47,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .. import blob, fsio
 
 # fall back to the shuffle path when the average input file overlaps
-# more than this many output buckets: the local plan decodes a file once
-# per overlapping bucket, so at high fan-out (un-laid-out inputs whose
-# every partition spans the whole key space) the exchange is cheaper
+# more than this many output buckets: the local plan re-reads a file's
+# BYTES once per overlapping bucket (a parquet cell is not
+# sub-sliceable; the page index only saves the DECODE), so at high
+# fan-out — un-laid-out inputs whose every partition spans the whole
+# key space — the exchange, which reads each input byte exactly once,
+# is cheaper
 FANOUT_LIMIT = 3.0
 
 
@@ -116,7 +131,27 @@ def fanout(plan_df: DataFrame) -> float:
     return float(row["pairs"]) / max(1, int(row["files"]))
 
 
-def source(
+_LOSSY = object()  # sentinel: a bound that cannot enter page-stat space
+
+
+def _page_space(v):
+    """Zone-space bound → page-index (``_jstat``) space: binary bounds
+    are compared against page stats stored as utf-8 TEXT. Valid utf-8
+    compares identically in str space (code-point order == byte order);
+    a bound that is NOT valid utf-8 (a truncated grid prefix cut
+    mid-codepoint) has no order-faithful text form, so the caller widens
+    that side to open rather than risk pruning a live page."""
+    if isinstance(v, (bytes, bytearray)):
+        try:
+            return bytes(v).decode("utf-8")
+        except UnicodeDecodeError:
+            return _LOSSY
+    if isinstance(v, np.integer):
+        return int(v)
+    return v
+
+
+def encode_fused(
     spark: SparkSession,
     plan_df: DataFrame,
     primary: str,
@@ -125,24 +160,34 @@ def source(
     n_parts: int,
     schema_map: dict[str, str],
     columns: list[str],
-    filesystem=None,
-) -> DataFrame:
-    """The merged-run DataFrame: one applyInArrow group per bucket reads
-    its overlapping chunk files, filters to the bucket's key range,
-    merges + sorts, and emits rows with ``_p2s_bucket`` attached — ready
-    for the prearranged encode path."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+    cfg,
+    snapshot_dir: str,
+    n_resumed: int = 0,
+) -> dict:
+    """Run the fused per-bucket merge+encode job and finalize lineage.
 
-    from ..schema import spark_type_to_pa
+    One ``applyInArrow`` group per bucket: read overlapping chunk files,
+    page-prune to the bucket's key span, residual-filter exactly, merge,
+    sort, and encode via the SAME partition encoder the shuffle path
+    uses — chunk bytes and commit markers are written as side effects;
+    only metric rows return to Spark."""
+    import json as _json
 
+    from ..plans import hll
+    from ..schema import df_to_pa_schema, spark_type_to_pa
+    from .decode_job import _page_keep_for_range
+    from .encode_job import CHUNK_SCHEMA, _encode_partition_arrow, commit_metrics_action
+
+    t0 = time.time()
     ddl = ", ".join(f"`{c}` {schema_map[c]}" for c in columns)
-    stype = spark.createDataFrame([], ddl).schema
-    # Spark's Arrow exchange carries TimestampType as tz-aware UTC
-    # regardless of session tz (rendering only) — same rule as decode
-    expected_pa = {f.name: spark_type_to_pa(f.dataType, ts_tz="UTC") for f in stype.fields}
-    out_schema = ddl + ", `_p2s_bucket` long"
+    empty_df = spark.createDataFrame([], ddl)
+    target_schema = df_to_pa_schema(empty_df)
+    expected_pa = {
+        f.name: spark_type_to_pa(f.dataType, ts_tz="UTC")
+        for f in empty_df.schema.fields
+    }
     byte_key = isinstance(bounds[0], (bytes, bytearray)) if bounds else False
+    filesystem = cfg.filesystem
 
     def _cmp_space(arr: "pa.ChunkedArray"):
         # decoded values → the bounds' comparison space: binary for byte
@@ -158,26 +203,111 @@ def source(
             return arr.cast(pa.int32()).cast(pa.int64())
         return arr
 
-    def merge_group(tbl: pa.Table) -> pa.Table:
+    def merge_encode(tbl: pa.Table) -> pa.Table:
+        import os as _os
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        _dbg = _os.environ.get("P2S_LM_DEBUG")
+        _t00 = time.time()
+        _ph = {"read": 0.0, "decode": 0.0, "filter": 0.0}
+
         b = int(tbl.column("bucket")[0].as_py())
         lo = bounds[b - 1] if b > 0 else None
         hi = bounds[b] if b < len(bounds) else None
+        lo_pb, hi_pb = _page_space(lo), _page_space(hi)
         runs = []
+        sketches: dict[str, list] = {c: [] for c in columns}
+        sketch_miss: set[str] = set()
         for snap, pid in zip(
             tbl.column("snap").to_pylist(), tbl.column("part_id").to_pylist()
         ):
             fs, root = fsio.resolve(snap, filesystem)
             path = fsio.join(root, "chunks", f"part-{int(pid):06d}.parquet")
-            ct = pq.read_table(
-                path, columns=["column", "payload"], filesystem=fs
-            )
+            _t = time.time()
+            ct = pq.read_table(path, filesystem=fs)
+            _ph["read"] += time.time() - _t
             names = ct.column("column").to_pylist()
-            payloads = ct.column("payload").to_pylist()
-            arrays = {
-                name: blob.decode_chunk(p, combine=False)
-                for name, p in zip(names, payloads)
+            row_of = {name: i for i, name in enumerate(names)}
+            have = set(ct.schema.names)
+
+            # input NDV sketches (merged below; see module doc): a chunk
+            # with non-null values but no sketch poisons the column — the
+            # merged sketch would silently under-cover
+            for c in columns:
+                i = row_of.get(c)
+                if i is None:
+                    continue  # older snapshot: column decodes all-null
+                s = ct.column("ndv_hll")[i].as_py() if "ndv_hll" in have else None
+                if s is not None:
+                    sketches[c].append(s)
+                elif int(ct.column("null_count")[i].as_py() or 0) < int(
+                    ct.column("n_rows")[i].as_py() or 0
+                ):
+                    sketch_miss.add(c)
+
+            # page keep-set from the PRIMARY column's page index: inputs
+            # are primary-sorted, so the bucket's rows form one
+            # contiguous page run — everything outside is never decoded
+            pi = row_of.get(primary)
+            keep = None
+            prim_nulls = (
+                int(ct.column("null_count")[pi].as_py() or 0) if pi is not None else 1
+            )
+            if pi is not None and not (b == 0 and prim_nulls > 0) and (
+                lo_pb is not None or hi_pb is not None
+            ):
+                # (bucket 0 with nulls present: null rows sort LAST —
+                # head value-pages plus a tail null-run is NOT one
+                # interval, so read the whole chunk there)
+                mins = _json.loads(ct.column("page_mins")[pi].as_py())
+                maxs = _json.loads(ct.column("page_maxs")[pi].as_py())
+                order = (
+                    ct.column("bounds_order")[pi].as_py()
+                    if "bounds_order" in have
+                    else None
+                )
+                keep = _page_keep_for_range(
+                    mins, maxs,
+                    None if lo_pb is _LOSSY else lo_pb,
+                    None if hi_pb is _LOSSY else hi_pb,
+                    order,
+                )
+                if b > 0 and "page_nulls" in have:
+                    pn_raw = ct.column("page_nulls")[pi].as_py()
+                    pr = _json.loads(ct.column("page_rows")[pi].as_py())
+                    if pn_raw is not None:
+                        pn = _json.loads(pn_raw)
+                        keep -= {
+                            i for i, (k, r) in enumerate(zip(pn, pr)) if k >= r > 0
+                        }
+                if len(keep) >= len(mins):
+                    keep = None  # nothing pruned — take the fast whole-chunk path
+
+            _t = time.time()
+            payload_of = {
+                name: p
+                for name, p in zip(names, ct.column("payload").to_pylist())
             }
-            n = len(next(iter(arrays.values()))) if arrays else 0
+            arrays = {}
+            for c in columns:
+                p = payload_of.get(c)
+                if p is None:
+                    continue
+                if keep is None:
+                    arrays[c] = blob.decode_chunk(p, combine=False)
+                else:
+                    parts = [
+                        a
+                        for _, a in blob.iter_chunk_pages(
+                            p, page_filter=lambda i, fr: i in keep
+                        )
+                        if a is not None
+                    ]
+                    arrays[c] = blob.chunk_pages(parts) if parts else None
+            if any(a is None for a in arrays.values()) or not arrays:
+                continue  # every page pruned — no rows from this file
+            n = len(next(iter(arrays.values())))
             cols = []
             for c in columns:
                 a = arrays.get(c)
@@ -189,6 +319,8 @@ def source(
                     a = a.cast(expected_pa[c])
                 cols.append(a)
             t = pa.table(dict(zip(columns, cols)))
+            _ph["decode"] += time.time() - _t
+            _t = time.time()
             if lo is not None or hi is not None:
                 v = _cmp_space(t.column(primary))
                 mask = None
@@ -203,10 +335,11 @@ def source(
                     t = t.filter(mask)
             if t.num_rows:
                 runs.append(t)
+            _ph["filter"] += time.time() - _t
         if not runs:
-            empty = {c: pa.array([], type=expected_pa[c]) for c in columns}
-            empty["_p2s_bucket"] = pa.array([], type=pa.int64())
-            return pa.table(empty)
+            # plan overlap with zero surviving rows: the shuffle path
+            # would simply not produce this partition — emit no chunk
+            return pa.Table.from_pylist([], schema=_metrics_schema())
         merged = pa.concat_tables(runs, promote_options="none")
         keys = [c for c in sort_cols if c in merged.schema.names]
         if keys:
@@ -216,9 +349,59 @@ def source(
                 null_placement="at_end",
             )
             merged = merged.take(idx)
-        return merged.append_column(
-            "_p2s_bucket",
-            pa.array(np.full(merged.num_rows, b, dtype=np.int64)),
+        merged = merged.append_column(
+            "_part_id", pa.array(np.full(merged.num_rows, b, dtype=np.int64))
         )
+        ndv_override = {
+            c: (hll.merge(sketches[c]) if c not in sketch_miss else None)
+            for c in columns
+        }
+        _t = time.time()
+        out = _encode_partition_arrow(
+            merged, cfg, snapshot_dir, columns, target_schema,
+            presorted=True, ndv_override=ndv_override,
+        )
+        if _dbg:
+            import json as _j
+            _os.makedirs(_dbg, exist_ok=True)
+            with open(f"{_dbg}/bucket-{b}.json", "w") as fh:
+                _j.dump({"bucket": b, "task_start": _t00, **{k: round(v, 2) for k, v in _ph.items()},
+                         "sort_s": round(_t - _t00 - sum(_ph.values()), 2),
+                         "encode_s": round(time.time() - _t, 2),
+                         "total_s": round(time.time() - _t00, 2)}, fh)
+        return out
 
-    return plan_df.groupBy("bucket").applyInArrow(merge_group, out_schema)
+    # NOT groupBy().applyInArrow: the plan rows are a few KB, so AQE
+    # coalesces the groupBy's shuffle to ONE partition (advisory size is
+    # data-based and blind to the heavy per-group IO+encode inside the
+    # UDF) — measured: all buckets ran sequentially in a single task.
+    # An explicit user repartition is never AQE-coalesced; 4× buckets
+    # keeps hash collisions (two buckets serialized in one task) rare at
+    # small bucket counts, capped so a million-bucket table doesn't
+    # schedule 4M near-empty tasks.
+    k = min(4 * max(1, n_parts), max(n_parts, 4096))
+    arranged = plan_df.repartition(k, F.col("bucket"))
+
+    def run_buckets(batches):
+        import pyarrow.compute as pc
+
+        bl = [rb for rb in batches if rb.num_rows]
+        if not bl:
+            return
+        t = pa.Table.from_batches(bl)
+        for b in sorted(set(t.column("bucket").to_pylist())):
+            out = merge_encode(t.filter(pc.equal(t.column("bucket"), b)))
+            if out.num_rows:
+                yield from out.to_batches()
+
+    metrics_df = arranged.mapInArrow(run_buckets, CHUNK_SCHEMA)
+    return commit_metrics_action(
+        spark, metrics_df, snapshot_dir, cfg, columns, empty_df, n_parts, t0,
+        n_resumed,
+    )
+
+
+def _metrics_schema():
+    from .encode_job import METRICS_PA_SCHEMA
+
+    return METRICS_PA_SCHEMA

@@ -334,18 +334,18 @@ def _range_layout(
     )
 
 
-def _local_merge_source(
+def _local_merge_compact(
     spark: SparkSession,
     table_dir: str,
     cfg: EncodeConfig,
     column,
     snap_dir: str,
     force: bool = False,
-):
-    """Build the exchange-free compaction source (merge_compact module):
-    (source_df, enc_cfg) — or None to fall back to the shuffle plan
-    (no grids for the column, unsupported key type, or plan fan-out over
-    the limit when not forced)."""
+) -> dict | None:
+    """Run the exchange-free FUSED compaction (merge_compact module) and
+    return its lineage — or None to fall back to the shuffle plan (no
+    grids for the column, unsupported key type, bloom columns configured,
+    or plan fan-out over the limit when not forced)."""
     from dataclasses import replace as _replace
 
     from pyspark.sql import functions as F
@@ -353,6 +353,11 @@ def _local_merge_source(
     from . import decode_job, merge_compact
     from .encode_job import committed_parts
 
+    if cfg.bloom_columns:
+        # bloom bits are built from JVM xxhash64 of the row values —
+        # only the shuffle plan carries those hash columns, and
+        # differently-sized split-block blooms cannot be merged
+        return None
     layout_cols = [column] if isinstance(column, str) else list(column)
     primary = layout_cols[0]
     lin = decode_job.lineage(table_dir, filesystem=cfg.filesystem)
@@ -374,8 +379,7 @@ def _local_merge_source(
     already = committed_parts(snap_dir, cfg.filesystem)
     if already:
         # resume: drop committed buckets from the PLAN, so their input
-        # files are never even opened (the encode-side _part_id filter
-        # stays as a second line of defense)
+        # files are never even opened
         plan_df = plan_df.filter(
             ~F.col("bucket").isin([int(p) for p in already])
         )
@@ -383,19 +387,11 @@ def _local_merge_source(
         [cfg.sort_by] if isinstance(cfg.sort_by, str) else list(cfg.sort_by or [])
     )
     sort_cols = layout_cols + [c for c in sort_cols if c not in layout_cols]
-    src = merge_compact.source(
+    return merge_compact.encode_fused(
         spark, plan_df, primary, bounds, sort_cols, n_parts,
-        lin["schema"], lin["columns"], filesystem=cfg.filesystem,
-    )
-    return (
-        src,
-        _replace(
-            cfg,
-            partition_column="_p2s_bucket",
-            num_partitions=n_parts,
-            sort_by=tuple(sort_cols),
-            prearranged=True,
-        ),
+        lin["schema"], lin["columns"],
+        _replace(cfg, sort_by=tuple(sort_cols)),
+        snap_dir, n_resumed=len(already),
     )
 
 
@@ -590,10 +586,11 @@ def compact(
     ``cfg.target_rows`` against the table's row count.
 
     ``local_merge`` picks the EXCHANGE-FREE compaction plan (see
-    operators/merge_compact.py): per-bucket Arrow tasks read only their
-    overlapping input chunk files (planned from chunk zone maps —
-    metadata only), merge + sort locally, and feed the encode job's
-    prearranged path — no row ever crosses a shuffle. ``None`` (default)
+    operators/merge_compact.py): one FUSED Arrow task per output bucket
+    reads only its overlapping input chunk files (planned from chunk
+    zone maps — metadata only), page-prunes to the bucket's key span,
+    merges + sorts + ENCODES in place — the payload never crosses a
+    shuffle and never enters the JVM at all. ``None`` (default)
     auto-selects it when ``range_layout_on`` is set and the measured
     plan fan-out (avg output buckets per input file) stays under
     ``merge_compact.FANOUT_LIMIT`` — i.e. when the inputs are already
@@ -628,17 +625,15 @@ def compact(
         _release_manifest_lock(fs, lock)
     snap_dir = os.path.join(table_dir, snap_name)
 
-    df = enc_cfg = None
-    used_local_merge = False
+    lin = None
     if range_layout_on is not None and local_merge is not False:
-        src = _local_merge_source(
+        lin = _local_merge_compact(
             spark, table_dir, cfg, range_layout_on, snap_dir,
             force=bool(local_merge),
         )
-        if src is not None:
-            df, enc_cfg = src
-            used_local_merge = True
-    if df is None:
+    if lin is not None:
+        lin["compaction_path"] = "local_merge"
+    else:
         df = decode_job.decode(spark, table_dir, filesystem=cfg.filesystem)
         enc_cfg = cfg
         if range_layout_on is not None:
@@ -650,8 +645,8 @@ def compact(
                 spark, df, table_dir, cfg, range_layout_on,
                 sum(s["rows"] for s in man["snapshots"]),
             )
-    lin = encode(spark, df, snap_dir, enc_cfg, resume=True)
-    lin["compaction_path"] = "local_merge" if used_local_merge else "shuffle"
+        lin = encode(spark, df, snap_dir, enc_cfg, resume=True)
+        lin["compaction_path"] = "shuffle"
 
     compacted_ids = {s["id"] for s in man["snapshots"]}
     # batch keys of everything absorbed ride along so a late keyed retry

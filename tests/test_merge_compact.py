@@ -1,10 +1,11 @@
 """Exchange-free (local-merge) range-layout compaction.
 
 The plan: bucket ← overlapping chunk files from zone maps (metadata
-only), one Arrow task per bucket reads + merges + sorts its runs, and
-the encode job's prearranged path writes them — no row ever crosses a
-shuffle. These tests pin (1) result equivalence with the shuffle plan,
-(2) the auto fan-out fallback, (3) null / timestamp key handling.
+only), one FUSED Arrow task per bucket reads + page-prunes + merges +
+sorts + encodes its runs in place — the payload never crosses a shuffle
+and never enters the JVM. These tests pin (1) result equivalence with
+the shuffle plan, (2) the auto fan-out fallback, (3) null / timestamp
+key handling.
 """
 
 from __future__ import annotations
