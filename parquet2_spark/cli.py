@@ -80,6 +80,10 @@ def main(argv: list[str] | None = None) -> int:
                          "overlapping chunk files; payload never crosses a "
                          "shuffle). auto: used when the zone-map plan fan-out "
                          "shows range-local inputs")
+    sp.add_argument("--no-binpack", action="store_true",
+                    help="force a full re-encode of every partition instead of "
+                         "carrying well-sized ones over verbatim (use after "
+                         "changing codec config)")
     sp = sub.add_parser("drift")
     sp.add_argument("table")
     sp = sub.add_parser("vacuum")
@@ -205,13 +209,16 @@ def main(argv: list[str] | None = None) -> int:
                                        if args.range_layout_on and "," in args.range_layout_on
                                        else args.range_layout_on),
                       local_merge={"auto": None, "on": True, "off": False}[
-                          args.local_merge])
+                          args.local_merge],
+                      binpack=False if args.no_binpack else None)
         man = read_manifest(args.table)
         print(json.dumps({
             "snapshot_id": man["current"],
             "rows": lin["rows"],
             "enc_bytes": lin["enc_bytes"],
             "compaction_path": lin["compaction_path"],
+            **({"binpack_kept": lin["binpack_kept"]}
+               if "binpack_kept" in lin else {}),
         }))
         return 0
     if args.cmd == "decode":

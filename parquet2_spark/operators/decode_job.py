@@ -661,6 +661,7 @@ def decode(
     key_ranges: list | None = None,
     not_null: str | list | None = None,
     is_null: str | list | None = None,
+    _part_ids_df: DataFrame | None = None,
 ) -> DataFrame:
     """Reassemble original rows from a snapshot — or a multi-snapshot
     table dir (``as_of`` time-travels to that snapshot id).
@@ -783,6 +784,11 @@ def decode(
         raise KeyError(f"columns not in snapshot schema: {unknown} (have {sorted(schema_map)})")
 
     df = chunks_df(spark, snapshot_dir, as_of, since, filesystem)
+    if _part_ids_df is not None:
+        # internal (binpack compaction): decode only the partitions named
+        # by a metadata FRAME — a semijoin, never a driver-side id list,
+        # so a million-partition selection stays Spark-side
+        df = df.join(_part_ids_df.select("part_id"), "part_id", "left_semi")
     if row_spans is not None:
         df = df.filter(F.col("part_id").isin(list(row_spans)) if row_spans else F.lit(False))
     # key_range (single) and key_ranges (multi, AND-combined) normalize to

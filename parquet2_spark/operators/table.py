@@ -569,6 +569,7 @@ def compact(
     keep_old: bool = False,
     range_layout_on: str | tuple | None = None,
     local_merge: bool | None = None,
+    binpack: bool | None = None,
 ) -> dict:
     """Rewrite every committed snapshot into one fresh snapshot (the
     Iceberg `rewrite_data_files` maintenance op): many small appends →
@@ -596,7 +597,19 @@ def compact(
     ``merge_compact.FANOUT_LIMIT`` — i.e. when the inputs are already
     range-laid-out deltas; un-laid-out inputs whose partitions span the
     whole key space fall back to the shuffle plan, which reads each
-    input byte exactly once."""
+    input byte exactly once.
+
+    ``binpack`` (plain compaction only — ignored under
+    ``range_layout_on``, whose rewrite re-buckets every row): partitions
+    already sized within Iceberg's binpack window
+    ([0.75, 1.8] × ``cfg.target_rows``) are carried over VERBATIM at
+    IO speed — chunk files copied with their ``part_id`` renumbered,
+    payloads never decoded, all stats/indexes preserved — and only the
+    under/over-sized tail is decoded and re-encoded (see
+    operators/binpack.py). Default ``None`` enables it; pass ``False``
+    to force a full re-encode of every partition (e.g. after changing
+    codec config, which binpack deliberately does NOT re-apply to
+    keepers)."""
     from . import decode_job
 
     if cfg is None:
@@ -633,6 +646,11 @@ def compact(
         )
     if lin is not None:
         lin["compaction_path"] = "local_merge"
+    elif range_layout_on is None and binpack is not False:
+        from .binpack import binpack_compact
+
+        lin = binpack_compact(spark, table_dir, cfg, snap_dir)
+        lin["compaction_path"] = "binpack"
     else:
         df = decode_job.decode(spark, table_dir, filesystem=cfg.filesystem)
         enc_cfg = cfg

@@ -212,7 +212,36 @@ class TestAppendCommit:
         assert read_manifest(tdir)["current"] == 4
 
     def test_compact_refuses_when_table_changed(self, spark, tmp_path, monkeypatch):
+        """Default (binpack) path: an append landing during the rewrite
+        is detected at the locked manifest compare."""
+        from parquet2_spark.operators import binpack as binpack_mod
+
         tdir = str(tmp_path / "tbl2")
+        append(spark, _batch(spark, 1), tdir, _cfg())
+        append(spark, _batch(spark, 2), tdir, _cfg())
+
+        orig = binpack_mod.binpack_compact
+        fired = []
+
+        def racy_binpack(*a, **k):
+            lin = orig(*a, **k)
+            if not fired:  # a concurrent append lands during the rewrite
+                fired.append(1)
+                append(spark, _batch(spark, 9), tdir, _cfg())
+            return lin
+
+        monkeypatch.setattr(binpack_mod, "binpack_compact", racy_binpack)
+        with pytest.raises(CommitConflict, match="changed during compaction"):
+            compact(spark, tdir, _cfg())
+        # the concurrently-appended snapshot survived
+        ids = sorted(s["id"] for s in read_manifest(tdir)["snapshots"])
+        assert ids == [1, 2, 3]
+
+    def test_compact_refuses_when_table_changed_full_reencode(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Same race through the binpack=False shuffle re-encode path."""
+        tdir = str(tmp_path / "tbl2b")
         append(spark, _batch(spark, 1), tdir, _cfg())
         append(spark, _batch(spark, 2), tdir, _cfg())
 
@@ -228,8 +257,7 @@ class TestAppendCommit:
 
         monkeypatch.setattr(table, "encode", racy_encode)
         with pytest.raises(CommitConflict, match="changed during compaction"):
-            compact(spark, tdir, _cfg())
-        # the concurrently-appended snapshot survived
+            compact(spark, tdir, _cfg(), binpack=False)
         ids = sorted(s["id"] for s in read_manifest(tdir)["snapshots"])
         assert ids == [1, 2, 3]
 
