@@ -31,7 +31,8 @@ per-partition row counts, snapshot ids — entirely Spark-side: the
 driver never materializes a partition list (the keeper→new-id mapping
 is a per-snapshot window over metadata rows with O(#snapshots) offsets
 collected, and the small-partition selection reaches decode() as a
-semijoin frame). Both halves are resumable: the encode job skips
+pushed-down per-snapshot predicate on the chunk scan — keeper payload
+bytes are never read). Both halves are resumable: the encode job skips
 committed partitions via its ``_commits`` markers, and the copy task
 skips keeper ids whose marker exists, so a crashed compaction retried
 under the same ``compact:`` staging key finishes exactly once.
@@ -114,30 +115,49 @@ def binpack_compact(
         .select("part_id", "n_rows")
     )
     sid_col = F.shiftrightunsigned(F.col("part_id"), table_mod.SNAP_SHIFT)
-    keep_cond = (
-        (F.col("n_rows") >= lo_rows)
-        & (F.col("n_rows") <= hi_rows)
-        & sid_col.isin([int(s) for s in eligible_sids])
-    )
+    in_window = (F.col("n_rows") >= lo_rows) & (F.col("n_rows") <= hi_rows)
+    keep_cond = in_window & sid_col.isin([int(s) for s in eligible_sids])
     keepers = meta.filter(keep_cond).withColumn("sid", sid_col)
 
-    # keeper counts per snapshot → contiguous id offsets. O(#snapshots)
-    # rows through the driver, never O(#partitions).
+    # one metadata aggregation for the whole census: per-snapshot
+    # partition totals + in-window counts (eligibility applied driver-
+    # side — sid is the group key). O(#snapshots) rows through the
+    # driver, never O(#partitions), and a single Spark job.
+    census = (
+        meta.withColumn("sid", sid_col)
+        .groupBy("sid")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(in_window.cast("long")).alias("in_window"),
+        )
+        .collect()
+    )
+    elig_set = {int(s) for s in eligible_sids}
     sid_counts = {
-        int(r["sid"]): int(r["cnt"])
-        for r in keepers.groupBy("sid").agg(F.count("*").alias("cnt")).collect()
+        int(r["sid"]): int(r["in_window"])
+        for r in census
+        if int(r["sid"]) in elig_set and int(r["in_window"])
     }
     m_keep = sum(sid_counts.values())
 
     # ---- tail: decode ONLY the non-keeper partitions, re-encode ----
-    smalls = meta.select("part_id").join(
-        keepers.select("part_id"), "part_id", "left_anti"
-    )
-    n_tail = smalls.count()  # metadata count (one row per partition)
+    n_tail = sum(int(r["total"]) for r in census) - m_keep
     k = 0
     if n_tail:
+        # the tail selection reaches decode as a PER-SNAPSHOT predicate
+        # over raw chunk columns, applied before the union inside
+        # chunks_df — it pushes down into each snapshot's parquet scan,
+        # and with one partition per chunk file (min==max row-group
+        # stats on n_rows) the keepers' payload bytes are never read.
+        # A semijoin frame here measured 90 s on a 2M-row table where
+        # this form pays only the surviving tail's IO.
+        def tail_filter(sid):
+            if sid not in elig_set:
+                return None  # narrow snapshot: every partition re-encodes
+            return (F.col("n_rows") < lo_rows) | (F.col("n_rows") > hi_rows)
+
         sub = decode_job.decode(
-            spark, table_dir, filesystem=cfg.filesystem, _part_ids_df=smalls
+            spark, table_dir, filesystem=cfg.filesystem, _chunk_filter=tail_filter
         )
         lin_small = encode(spark, sub, snap_dir, cfg, resume=True)
         # keeper ids start AFTER the tail's PLANNED id space — the plan

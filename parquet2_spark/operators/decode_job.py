@@ -133,12 +133,22 @@ def chunks_df(
     as_of: int | None = None,
     since: int | None = None,
     filesystem=None,
+    _per_snapshot_filter=None,
 ) -> DataFrame:
     """The chunks table (metadata + payload). Stats queries should select
     only metadata columns — parquet column pruning then never touches the
     payload bytes. A multi-snapshot table dir unions every committed
     snapshot's chunks with the part_id namespaced by snapshot id, so ids
-    never collide across snapshots."""
+    never collide across snapshots.
+
+    ``_per_snapshot_filter`` (internal, binpack compaction): a callable
+    ``sid -> Column | None`` applied to each snapshot's frame BEFORE the
+    part_id namespacing and the union — so a predicate over raw chunk
+    columns (``n_rows``, local ``part_id``) PUSHES DOWN into that
+    snapshot's parquet scan. Every chunk file holds one partition
+    (constant ``n_rows``/``part_id`` per file ⇒ min==max row-group
+    stats), so pruned partitions' payload bytes are never read. ``None``
+    from the callable keeps the whole snapshot."""
     from . import table as table_mod
 
     # manifest reads go through pyarrow.fs; the chunk parquet itself is
@@ -148,6 +158,10 @@ def chunks_df(
         parts = []
         for sid, sdir in table_mod.snapshot_dirs(snapshot_dir, as_of, filesystem, since):
             d = spark.read.parquet(os.path.join(sdir, "chunks"))
+            if _per_snapshot_filter is not None:
+                cond = _per_snapshot_filter(sid)
+                if cond is not None:
+                    d = d.filter(cond)
             parts.append(
                 d.withColumn(
                     "part_id",
@@ -167,7 +181,12 @@ def chunks_df(
             # column existed (e.g. bloom) union with nulls there
             out = out.unionByName(p, allowMissingColumns=True)
         return out
-    return spark.read.parquet(os.path.join(snapshot_dir, "chunks"))
+    out = spark.read.parquet(os.path.join(snapshot_dir, "chunks"))
+    if _per_snapshot_filter is not None:
+        cond = _per_snapshot_filter(0)
+        if cond is not None:
+            out = out.filter(cond)
+    return out
 
 
 def stats(spark: SparkSession, snapshot_dir: str) -> DataFrame:
@@ -661,7 +680,7 @@ def decode(
     key_ranges: list | None = None,
     not_null: str | list | None = None,
     is_null: str | list | None = None,
-    _part_ids_df: DataFrame | None = None,
+    _chunk_filter=None,
 ) -> DataFrame:
     """Reassemble original rows from a snapshot — or a multi-snapshot
     table dir (``as_of`` time-travels to that snapshot id).
@@ -783,12 +802,10 @@ def decode(
     if unknown:
         raise KeyError(f"columns not in snapshot schema: {unknown} (have {sorted(schema_map)})")
 
-    df = chunks_df(spark, snapshot_dir, as_of, since, filesystem)
-    if _part_ids_df is not None:
-        # internal (binpack compaction): decode only the partitions named
-        # by a metadata FRAME — a semijoin, never a driver-side id list,
-        # so a million-partition selection stays Spark-side
-        df = df.join(_part_ids_df.select("part_id"), "part_id", "left_semi")
+    df = chunks_df(
+        spark, snapshot_dir, as_of, since, filesystem,
+        _per_snapshot_filter=_chunk_filter,
+    )
     if row_spans is not None:
         df = df.filter(F.col("part_id").isin(list(row_spans)) if row_spans else F.lit(False))
     # key_range (single) and key_ranges (multi, AND-combined) normalize to
