@@ -761,21 +761,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def table_append_decode(spark, sf_dir):
-        """Incremental ingestion: two batches appended as separate table
-        snapshots must decode to exactly the union (bit-identical), so
-        the flat SQL scan is the oracle."""
+        """Incremental ingestion THROUGH a maintenance cycle: three
+        batches appended as separate snapshots, then compact() — which
+        defaults to BIN-PACK (operators/binpack.py): the two in-window
+        partitions are carried over verbatim (part_id renumbered,
+        payload never decoded) and the 50-row tail re-encodes — must
+        decode to exactly the union (bit-identical), so the flat SQL
+        scan is the oracle. This puts the binpack copy path (renumber,
+        metrics, finalize) in the driver's correctness record."""
         import tempfile as _tf
 
         from parquet2_spark.operators import decode_job
         from parquet2_spark.operators.encode_job import EncodeConfig
-        from parquet2_spark.operators.table import append
+        from parquet2_spark.operators.table import append, compact
 
         docs = _t(spark, sf_dir, "documents")
         tdir = _tf.mkdtemp(prefix="p2s_table_") + "/t"
         cfg = EncodeConfig(target_rows=256, page_rows=128, sort_by="doc_id",
                            key="doc_id", host_from_key=False)
+        # 250 + 200 rows land inside the binpack keep window
+        # ([0.75, 1.8] x 256 = [192, 460]); 50 rows are the re-encode tail
         append(spark, docs.filter(F.col("doc_id") < 250), tdir, cfg)
-        append(spark, docs.filter(F.col("doc_id") >= 250), tdir, cfg)
+        append(spark, docs.filter((F.col("doc_id") >= 250)
+                                  & (F.col("doc_id") < 450)), tdir, cfg)
+        append(spark, docs.filter(F.col("doc_id") >= 450), tdir, cfg)
+        lin = compact(spark, tdir, cfg)
+        assert lin["compaction_path"] == "binpack", lin["compaction_path"]
+        assert lin["binpack_kept"] == 2, lin["binpack_kept"]
         return decode_job.decode(spark, tdir)
 
     def table_time_travel(spark, sf_dir):

@@ -603,7 +603,11 @@ def encode(
     def run(tbl: pa.Table) -> pa.Table:
         return _encode_partition_arrow(tbl, cfg, snapshot_dir, columns, target_schema)
 
-    if cfg.shuffle:
+    if cfg.shuffle and os.environ.get("P2S_ENCODE_GROUPBY"):
+        # measurement escape hatch: the pre-round-5 plan shape (hash
+        # exchange + Arrow-side sort inside the UDF) for A/B profiling
+        metrics_df = planned.groupBy("_part_id").applyInArrow(run, CHUNK_SCHEMA)
+    elif cfg.shuffle:
         # One exchange on _part_id, then the SORT RUNS IN TUNGSTEN
         # (off-heap radix, spillable) instead of an Arrow
         # sort_indices+take gather of the whole text-heavy group in the
