@@ -94,7 +94,7 @@ def plan(
         meta = (
             spark.read.parquet(fsio.join(sdir, "chunks"))
             .select("part_id", "column", "min_bin", "max_bin", "min_num",
-                    "max_num", "min_dbl", "max_dbl", "null_count")
+                    "max_num", "min_dbl", "max_dbl", "null_count", "n_rows")
         )
         parts = meta.select("part_id").distinct()
         prim = meta.filter(F.col("column") == primary)
@@ -103,17 +103,19 @@ def plan(
             .withColumn("b_lo", span(sc_min))
             .withColumn("b_hi", span(sc_max))
         )
+        w = F.coalesce(F.col("n_rows"), F.lit(1)).alias("w")
         spanned = j.select(
             F.explode(F.sequence(F.col("b_lo"), F.col("b_hi"))).alias("bucket"),
             F.lit(sdir).alias("snap"),
             "part_id",
+            w,
         )
         # a chunk whose values sit above bucket 0 but which CONTAINS
         # nulls also feeds bucket 0 (zone maps cover non-null values
         # only; null rows are bucket-0 rows)
         null_extra = j.filter(
             (F.coalesce(F.col("null_count"), F.lit(1)) > 0) & (F.col("b_lo") > 0)
-        ).select(F.lit(0).alias("bucket"), F.lit(sdir).alias("snap"), "part_id")
+        ).select(F.lit(0).alias("bucket"), F.lit(sdir).alias("snap"), "part_id", w)
         frames.append(spanned.unionByName(null_extra))
     out = frames[0]
     for fr in frames[1:]:
@@ -122,13 +124,22 @@ def plan(
 
 
 def fanout(plan_df: DataFrame) -> float:
-    """Average output buckets per input file — ONE tiny aggregate over
-    metadata rows (two scalars to the driver, never a file list)."""
-    row = plan_df.agg(
-        F.count(F.lit(1)).alias("pairs"),
-        F.countDistinct("snap", "part_id").alias("files"),
-    ).collect()[0]
-    return float(row["pairs"]) / max(1, int(row["files"]))
+    """ROWS-WEIGHTED average output buckets per input file — tiny
+    aggregates over metadata rows (scalars to the driver, never a file
+    list). Weighting matters for the auto-fallback decision: the cost
+    of re-reading a file once per overlapping bucket is proportional to
+    the file's SIZE, so a handful of small delta files overlapping many
+    buckets must not veto a plan whose big laid-out partitions are all
+    bucket-local (unweighted, 3 tiny wide files among 30 local ones
+    read as fan-out 3.9 and forced the shuffle plan; byte-wise the
+    fused plan re-reads ~5% extra)."""
+    pairs_w = plan_df.agg(F.sum("w").alias("s")).collect()[0]["s"] or 0
+    files_w = (
+        plan_df.select("snap", "part_id", "w").distinct()
+        .agg(F.sum("w").alias("s")).collect()[0]["s"]
+        or 0
+    )
+    return float(pairs_w) / max(1, int(files_w))
 
 
 _LOSSY = object()  # sentinel: a bound that cannot enter page-stat space

@@ -388,7 +388,7 @@ def _local_merge_compact(
     )
     sort_cols = layout_cols + [c for c in sort_cols if c not in layout_cols]
     return merge_compact.encode_fused(
-        spark, plan_df, primary, bounds, sort_cols, n_parts,
+        spark, plan_df.drop("w"), primary, bounds, sort_cols, n_parts,
         lin["schema"], lin["columns"],
         _replace(cfg, sort_by=tuple(sort_cols)),
         snap_dir, n_resumed=len(already),

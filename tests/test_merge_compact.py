@@ -82,6 +82,48 @@ class TestLocalMergeCompaction:
         rep = validate.digest_frames(src, decode_job.decode(spark, td))
         assert rep["bit_identical"], rep
 
+    def test_fanout_is_rows_weighted(self, spark, tmp_path):
+        """A SMALL un-laid-out delta (spans every bucket) among large
+        bucket-local partitions must not veto the fused plan: re-reading
+        a tiny file per bucket is cheap in bytes. The weighted fan-out
+        stays near 1 where the unweighted pair/file count would read
+        ~half the bucket count."""
+        from parquet2_spark.operators import merge_compact
+
+        td = str(tmp_path / "w")
+        table.append(spark, _corpus(spark, 6000), td, _cfg())
+        # grids exist only after the first snapshot: one layout pass
+        # (12 buckets) makes the big partitions bucket-local
+        table.compact(spark, td, _cfg(target_rows=500), range_layout_on="url")
+        # two tiny wide deltas: 60 rows each across the whole url space
+        table.append(spark, _corpus(spark, 60, voff=6000), td, _cfg())
+        table.append(spark, _corpus(spark, 60, voff=6060), td, _cfg())
+        from parquet2_spark.operators import decode_job as dj
+
+        lin = dj.lineage(td)
+        n_parts = max(1, -(-lin["rows"] // 500))
+        bounds = dj.range_bounds(spark, td, "url", n_parts)
+        snaps = table.snapshot_dirs(td)
+        plan_df = merge_compact.plan(spark, snaps, "url", bounds)
+        wf = merge_compact.fanout(plan_df)
+        # unweighted (the old metric): pairs / files — inflated by the
+        # tiny wide files, which carry ~1% of the rows each
+        row = plan_df.agg(F.count(F.lit(1)).alias("p"),
+                          F.countDistinct("snap", "part_id").alias("f")).collect()[0]
+        uf = row["p"] / row["f"]
+        assert wf < uf, (wf, uf)
+        assert wf < merge_compact.FANOUT_LIMIT, wf
+        # and the auto mode takes the fused plan — result equivalence
+        # still pinned by row equality
+        before = sorted(r["v"] for r in decode_job.decode(spark, td)
+                        .select("v").collect())
+        lin_c = table.compact(spark, td, _cfg(target_rows=500),
+                              range_layout_on="url")
+        assert lin_c["compaction_path"] == "local_merge"
+        after = sorted(r["v"] for r in decode_job.decode(spark, td)
+                       .select("v").collect())
+        assert before == after
+
     def test_null_keys_route_to_bucket0(self, spark, tmp_path):
         """NULLs in the layout column land in bucket 0 under BOTH plans
         (coalesce(bucket, 0) semantics) and survive the round trip."""
