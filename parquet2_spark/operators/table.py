@@ -261,6 +261,131 @@ def _claim_staging_dir(
     return snap_name
 
 
+def _bounds_to_json(bounds: list) -> dict:
+    """JSON-safe encoding of layout split points (zone-map units):
+    bytes → base64, ints stay exact (python JSON ints are arbitrary
+    precision — no 2^53 float loss), floats as-is."""
+    import base64
+
+    import numpy as np
+
+    if not bounds:
+        return {"t": "int", "v": []}
+    b0 = bounds[0]
+    if isinstance(b0, (bytes, bytearray)):
+        return {"t": "bytes",
+                "v": [base64.b64encode(bytes(b)).decode("ascii") for b in bounds]}
+    if isinstance(b0, (int, np.integer)) and not isinstance(b0, bool):
+        return {"t": "int", "v": [int(b) for b in bounds]}
+    return {"t": "float", "v": [float(b) for b in bounds]}
+
+
+def _bounds_from_json(enc: dict) -> list:
+    import base64
+
+    if enc["t"] == "bytes":
+        return [base64.b64decode(v) for v in enc["v"]]
+    return list(enc["v"])
+
+
+def _write_layout_sidecar(cfg: EncodeConfig, snap_dir: str, primary: str,
+                          bounds: list) -> None:
+    """Persist the split points a layout rewrite USED next to the
+    snapshot, so the next maintenance pass can keep buckets ALIGNED
+    (sticky bounds): re-deriving bounds from the grids after every
+    append drifts them by slivers, which makes previously-laid
+    partitions straddle the new boundaries and re-read under the fused
+    plan. O(1) metadata, written before the manifest swap."""
+    fs, root = fsio.resolve(snap_dir, cfg.filesystem)
+    fsio.write_json_atomic(fs, fsio.join(root, "_layout.json"), {
+        "column": primary,
+        "n_parts": len(bounds) + 1,
+        "bounds": _bounds_to_json(bounds),
+    })
+
+
+def _newest_layout_doc(table_dir: str, cfg: EncodeConfig) -> dict | None:
+    """The most recent committed snapshot's ``_layout.json``, any
+    column, or None. O(#snapshots) tiny metadata reads; stops at the
+    first (newest) hit — an older sidecar on a different column is a
+    superseded layout, not a fallback."""
+    for _sid, sdir in reversed(snapshot_dirs(table_dir, filesystem=cfg.filesystem)):
+        fs, root = fsio.resolve(sdir, cfg.filesystem)
+        p = fsio.join(root, "_layout.json")
+        if fsio.exists(fs, p):
+            return fsio.read_json(fs, p)
+    return None
+
+
+def _stored_layout(table_dir: str, cfg: EncodeConfig, primary: str):
+    """The operative (newest) stored layout if it is on ``primary``,
+    else None — a newer layout on another column means partitions are
+    no longer bucket-pure on this one, so its old bounds are stale."""
+    doc = _newest_layout_doc(table_dir, cfg)
+    if doc is not None and doc.get("column") == primary:
+        return doc
+    return None
+
+
+def _resolve_layout_bounds(
+    spark: SparkSession,
+    table_dir: str,
+    cfg: EncodeConfig,
+    primary: str,
+    total_rows: int,
+):
+    """Split points for a layout rewrite: REUSE the stored layout's
+    bounds while the table's size keeps partitions inside a sane window
+    around ``target_rows`` (needed parts within [0.6, 1.25]x the stored
+    count) — stable buckets make re-compaction incremental (old
+    partitions stay bucket-pure) and zone maps comparable across
+    snapshots. Outside the window (the table grew or the target
+    changed), fall back to fresh grid-derived bounds, re-equalizing.
+    Returns (bounds, n_parts, reused)."""
+    from . import decode_job
+
+    needed = max(1, -(-int(total_rows) // cfg.target_rows))  # ceil
+    stored = _stored_layout(table_dir, cfg, primary)
+    if stored is not None:
+        sp = int(stored["n_parts"])
+        if max(1, int(sp * 0.6)) <= needed <= max(1, int(sp * 1.25)):
+            return _bounds_from_json(stored["bounds"]), sp, True
+    return (
+        decode_job.range_bounds(
+            spark, table_dir, primary, needed, filesystem=cfg.filesystem
+        ),
+        needed,
+        False,
+    )
+
+
+def _aligned_append_bounds(
+    table_dir: str, cfg: EncodeConfig, primary: str, delta_rows: int
+) -> list | None:
+    """Split points for an APPENDED delta, snapped to the table's stored
+    layout: every k-th stored boundary (k chosen so delta partitions
+    land near ``target_rows`` under a table-like key distribution).
+    Each delta partition then covers a contiguous run of WHOLE stored
+    buckets — never splitting one — so the next re-layout compaction
+    sees bucket-aligned runs (verbatim-keep for untouched buckets, and
+    fused-merge fan-out bounded by the coarsening stride instead of the
+    full bucket count). None when no stored layout exists or the delta
+    alone outgrows it (fresh grid bounds re-equalize instead)."""
+    stored = _stored_layout(table_dir, cfg, primary)
+    if stored is None:
+        return None
+    sp = int(stored["n_parts"])
+    needed = max(1, -(-int(delta_rows) // cfg.target_rows))  # ceil
+    if needed >= sp:
+        # delta alone needs >= the stored bucket count: aligned bounds
+        # cannot split buckets, so partitions would exceed target —
+        # signal the caller to fall back to fresh grid bounds
+        return None if needed > sp else _bounds_from_json(stored["bounds"])
+    bounds = _bounds_from_json(stored["bounds"])
+    k = -(-sp // needed)  # ceil: buckets per delta partition
+    return bounds[k - 1 :: k]
+
+
 def _range_layout(
     spark: SparkSession,
     df: DataFrame,
@@ -268,6 +393,7 @@ def _range_layout(
     cfg: EncodeConfig,
     column,
     n_rows: int,
+    bounds_override: list | None = None,
 ):
     """Lay ``df`` out by range of ``column`` using split points from the
     TABLE's quantile grids: metadata-only planning (no sampling scan),
@@ -288,10 +414,14 @@ def _range_layout(
 
     layout_cols = [column] if isinstance(column, str) else list(column)
     column = layout_cols[0]  # grids partition on the primary only
-    n_parts = max(1, -(-int(n_rows) // cfg.target_rows))  # ceil
-    bounds = decode_job.range_bounds(
-        spark, table_dir, column, n_parts, filesystem=cfg.filesystem
-    )
+    if bounds_override is not None:
+        bounds = bounds_override
+        n_parts = len(bounds) + 1
+    else:
+        n_parts = max(1, -(-int(n_rows) // cfg.target_rows))  # ceil
+        bounds = decode_job.range_bounds(
+            spark, table_dir, column, n_parts, filesystem=cfg.filesystem
+        )
     ddl = dict(df.dtypes).get(column)
     if ddl is None:
         raise ValueError(f"range-layout column {column} not in batch schema")
@@ -341,6 +471,7 @@ def _local_merge_compact(
     column,
     snap_dir: str,
     force: bool = False,
+    bounds_override: list | None = None,
 ) -> dict | None:
     """Run the exchange-free FUSED compaction (merge_compact module) and
     return its lineage — or None to fall back to the shuffle plan (no
@@ -361,13 +492,17 @@ def _local_merge_compact(
     layout_cols = [column] if isinstance(column, str) else list(column)
     primary = layout_cols[0]
     lin = decode_job.lineage(table_dir, filesystem=cfg.filesystem)
-    n_parts = max(1, -(-int(lin["rows"]) // cfg.target_rows))  # ceil
-    try:
-        bounds = decode_job.range_bounds(
-            spark, table_dir, primary, n_parts, filesystem=cfg.filesystem
-        )
-    except (ValueError, KeyError):
-        return None  # no grids / column unknown — shuffle path handles it
+    if bounds_override is not None:
+        bounds = bounds_override
+        n_parts = len(bounds) + 1
+    else:
+        n_parts = max(1, -(-int(lin["rows"]) // cfg.target_rows))  # ceil
+        try:
+            bounds = decode_job.range_bounds(
+                spark, table_dir, primary, n_parts, filesystem=cfg.filesystem
+            )
+        except (ValueError, KeyError):
+            return None  # no grids / column unknown — shuffle path handles it
     snaps = snapshot_dirs(table_dir, filesystem=cfg.filesystem)
     plan_df = merge_compact.plan(
         spark, snaps, primary, bounds, filesystem=cfg.filesystem
@@ -478,8 +613,16 @@ def append(
     enc_cfg = cfg
     if range_layout_on is not None and man["snapshots"]:
         try:
+            _lcols = ([range_layout_on] if isinstance(range_layout_on, str)
+                      else list(range_layout_on))
+            n_delta = df.count()
+            # snap the delta's split points to the stored (sticky) layout
+            # when one exists: delta partitions then cover whole stored
+            # buckets, keeping future re-layout compaction incremental
+            aligned = _aligned_append_bounds(table_dir, cfg, _lcols[0], n_delta)
             df, enc_cfg = _range_layout(
-                spark, df, table_dir, cfg, range_layout_on, df.count()
+                spark, df, table_dir, cfg, range_layout_on, n_delta,
+                bounds_override=aligned,
             )
         except (ValueError, KeyError):
             # ValueError: table predates quantile grids (or grids
@@ -638,11 +781,29 @@ def compact(
         _release_manifest_lock(fs, lock)
     snap_dir = os.path.join(table_dir, snap_name)
 
+    # STICKY layout bounds: reuse the previous layout's split points
+    # while the table size keeps partitions near target — aligned
+    # buckets keep old partitions bucket-pure across maintenance
+    # cycles (fan-out ~1 under the fused plan) and zone maps
+    # comparable. Falls back to fresh grid-derived bounds when the
+    # table outgrew the stored layout or none exists.
+    layout_bounds, layout_reused = None, False
+    if range_layout_on is not None:
+        _lcols = ([range_layout_on] if isinstance(range_layout_on, str)
+                  else list(range_layout_on))
+        try:
+            layout_bounds, _, layout_reused = _resolve_layout_bounds(
+                spark, table_dir, cfg, _lcols[0],
+                sum(s["rows"] for s in man["snapshots"]),
+            )
+        except (ValueError, KeyError):
+            layout_bounds = None  # no grids: paths below handle/raise as before
+
     lin = None
     if range_layout_on is not None and local_merge is not False:
         lin = _local_merge_compact(
             spark, table_dir, cfg, range_layout_on, snap_dir,
-            force=bool(local_merge),
+            force=bool(local_merge), bounds_override=layout_bounds,
         )
     if lin is not None:
         lin["compaction_path"] = "local_merge"
@@ -662,9 +823,33 @@ def compact(
             df, enc_cfg = _range_layout(
                 spark, df, table_dir, cfg, range_layout_on,
                 sum(s["rows"] for s in man["snapshots"]),
+                bounds_override=layout_bounds,
             )
         lin = encode(spark, df, snap_dir, enc_cfg, resume=True)
         lin["compaction_path"] = "shuffle"
+
+    if range_layout_on is not None and layout_bounds is not None:
+        # persist the split points this rewrite USED (sticky bounds for
+        # the next maintenance pass) before the manifest swap, so every
+        # committed layout snapshot carries its layout
+        _write_layout_sidecar(
+            cfg, snap_dir,
+            (range_layout_on if isinstance(range_layout_on, str)
+             else list(range_layout_on)[0]),
+            layout_bounds,
+        )
+        lin["layout_bounds_reused"] = layout_reused
+    elif lin.get("compaction_path") == "binpack":
+        # binpack keepers are verbatim copies — the physical range layout
+        # (if any) survives plain compaction, so carry the operative
+        # sidecar into the new snapshot; only the re-encoded tail departs
+        # from it, which the next re-layout's fan-out gate tolerates
+        prev_doc = _newest_layout_doc(table_dir, cfg)
+        if prev_doc is not None:
+            sfs, sroot = fsio.resolve(snap_dir, cfg.filesystem)
+            fsio.write_json_atomic(
+                sfs, fsio.join(sroot, "_layout.json"), prev_doc
+            )
 
     compacted_ids = {s["id"] for s in man["snapshots"]}
     # batch keys of everything absorbed ride along so a late keyed retry
