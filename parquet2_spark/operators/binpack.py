@@ -77,6 +77,72 @@ _METRIC_TYPES = {
 }
 
 
+def metric_batch_schema() -> pa.Schema:
+    """Arrow schema of the slim metric rows a verbatim-copy task emits
+    (CHUNK_SCHEMA column order)."""
+    return pa.schema(
+        [pa.field(c, _METRIC_TYPES[c]) for c in _METRIC_COLS]
+        + [pa.field("wall_s", pa.float64())]
+    )
+
+
+def copy_chunk_file(
+    fs,
+    chunks_dir: str,
+    commits_dir: str,
+    tmp_dir: str,
+    src_fs,
+    src_path: str,
+    npid: int,
+    marker_extra: dict,
+    out_schema: pa.Schema,
+) -> pa.RecordBatch | None:
+    """Carry one partition's chunk parquet over VERBATIM: read, patch
+    the embedded ``part_id`` to ``npid``, write atomically, record the
+    commit marker. Payload bytes are never decoded; stats/indexes ride
+    along unchanged. Returns the metric record batch, or None when the
+    marker already exists (resume). Shared by binpack compaction and
+    the incremental re-layout keeper path (merge_compact)."""
+    tw0 = time.time()
+    marker_path = fsio.join(commits_dir, f"{npid}.json")
+    if fsio.exists(fs, marker_path):
+        return None  # resume: this keeper already carried over
+    with src_fs.open_input_file(src_path) as f:
+        tbl = pq.read_table(f)
+    n = tbl.num_rows
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("part_id"),
+        "part_id",
+        pa.array([npid] * n, pa.int64()),
+    )
+    final = fsio.join(chunks_dir, f"part-{npid:06d}.parquet")
+    fsio.write_parquet_atomic(fs, final, tbl, tmp_dir=tmp_dir, compression="none")
+    wall = time.time() - tw0
+    rows_n = 0
+    arrs = []
+    for c in _METRIC_COLS:
+        if c in tbl.schema.names:
+            arr = tbl.column(c).combine_chunks().cast(_METRIC_TYPES[c])
+        else:  # chunk file from before this stat column existed
+            arr = pa.nulls(n, _METRIC_TYPES[c])
+        if c == "n_rows":
+            rows_n = int(pc.max(arr).as_py() or 0)
+        arrs.append(arr)
+    arrs.append(pa.array([wall] * n, pa.float64()))
+    fsio.write_json_atomic(
+        fs,
+        marker_path,
+        {
+            "part_id": int(npid),
+            "file": f"part-{npid:06d}.parquet",
+            "rows": rows_n,
+            "wall_s": wall,
+            **marker_extra,
+        },
+    )
+    return pa.record_batch(arrs, schema=out_schema)
+
+
 def binpack_compact(
     spark: SparkSession,
     table_dir: str,
@@ -204,57 +270,20 @@ def binpack_compact(
         tmp_dir = fsio.join(root, "_tmp")
         for d in (chunks_dir, commits_dir, tmp_dir):
             fsio.mkdirs(fs, d)
-        out_schema = pa.schema(
-            [pa.field(c, _METRIC_TYPES[c]) for c in _METRIC_COLS]
-            + [pa.field("wall_s", pa.float64())]
-        )
+        out_schema = metric_batch_schema()
         for rb in batches:
             gpids = rb.column(rb.schema.get_field_index("part_id")).to_pylist()
             npids = rb.column(rb.schema.get_field_index("new_pid")).to_pylist()
             for gpid, npid in zip(gpids, npids):
-                tw0 = time.time()
-                marker_path = fsio.join(commits_dir, f"{npid}.json")
-                if fsio.exists(fs, marker_path):
-                    continue  # resume: this keeper already carried over
                 sid, lpid = gpid >> shift, gpid & ((1 << shift) - 1)
                 src_fs, src_root = fsio.resolve(snap_dirs[sid], filesystem)
                 src = fsio.join(src_root, "chunks", f"part-{lpid:06d}.parquet")
-                with src_fs.open_input_file(src) as f:
-                    tbl = pq.read_table(f)
-                n = tbl.num_rows
-                tbl = tbl.set_column(
-                    tbl.schema.get_field_index("part_id"),
-                    "part_id",
-                    pa.array([npid] * n, pa.int64()),
+                out = copy_chunk_file(
+                    fs, chunks_dir, commits_dir, tmp_dir, src_fs, src,
+                    int(npid), {"binpack_copied_from": int(gpid)}, out_schema,
                 )
-                final = fsio.join(chunks_dir, f"part-{npid:06d}.parquet")
-                fsio.write_parquet_atomic(
-                    fs, final, tbl, tmp_dir=tmp_dir, compression="none"
-                )
-                wall = time.time() - tw0
-                rows_n = None
-                arrs = []
-                for c in _METRIC_COLS:
-                    if c in tbl.schema.names:
-                        arr = tbl.column(c).combine_chunks().cast(_METRIC_TYPES[c])
-                    else:  # chunk file from before this stat column existed
-                        arr = pa.nulls(n, _METRIC_TYPES[c])
-                    if c == "n_rows":
-                        rows_n = int(pc.max(arr).as_py() or 0)
-                    arrs.append(arr)
-                arrs.append(pa.array([wall] * n, pa.float64()))
-                fsio.write_json_atomic(
-                    fs,
-                    marker_path,
-                    {
-                        "part_id": int(npid),
-                        "file": f"part-{npid:06d}.parquet",
-                        "rows": rows_n or 0,
-                        "wall_s": wall,
-                        "binpack_copied_from": int(gpid),
-                    },
-                )
-                yield pa.record_batch(arrs, schema=out_schema)
+                if out is not None:
+                    yield out
 
     metrics_df = plan.repartition("new_pid").mapInArrow(copy_tasks, CHUNK_SCHEMA)
     # dtypes-only frame for lineage schema (never executed)

@@ -142,6 +142,79 @@ def fanout(plan_df: DataFrame) -> float:
     return float(pairs_w) / max(1, int(files_w))
 
 
+def split_keepers(plan_df: DataFrame, eligible_snaps: list[str]):
+    """(keep_df, merge_df): incremental re-layout. A bucket is a KEEPER
+    — its single input partition carried over VERBATIM at IO speed, no
+    decode — when (1) the bucket's input set is exactly one partition,
+    (2) that partition overlaps no other bucket (its zone-map span sits
+    inside the bucket, and it feeds no null-extra row), and (3) its
+    snapshot carries the table's full column set (a narrow pre-evolution
+    chunk file would plant missing columns). Everything else merges
+    through the fused path. Only meaningful under STICKY (reused)
+    bounds: fresh bounds shift every boundary, so no old partition is
+    bucket-pure and the split degenerates to all-merge.
+
+    Two windows over the metadata plan rows (KBs) — no payload IO."""
+    from pyspark.sql import Window
+
+    if not eligible_snaps:
+        return plan_df.limit(0), plan_df
+    w_part = Window.partitionBy("snap", "part_id")
+    w_buck = Window.partitionBy("bucket")
+    ann = (
+        plan_df
+        .withColumn("_nb", F.size(F.collect_set("bucket").over(w_part)))
+        .withColumn("_np", F.count(F.lit(1)).over(w_buck))
+    )
+    is_keep = (
+        (F.col("_nb") == 1)
+        & (F.col("_np") == 1)
+        & F.col("snap").isin(list(eligible_snaps))
+    )
+    return (
+        ann.filter(is_keep).drop("_nb", "_np"),
+        ann.filter(~is_keep).drop("_nb", "_np"),
+    )
+
+
+def copy_keepers_metrics(keep_df: DataFrame, snapshot_dir: str, cfg) -> DataFrame:
+    """Metric-row frame for the keeper buckets: one mapInArrow task per
+    bucket copies the partition's chunk parquet with ``part_id``
+    patched to the bucket id (the same id the fused path would write).
+    Resumable via the shared ``_commits`` markers."""
+    from .binpack import copy_chunk_file, metric_batch_schema
+    from .encode_job import CHUNK_SCHEMA
+
+    filesystem = cfg.filesystem
+    dest = snapshot_dir
+
+    def copy_tasks(batches):
+        fs, root = fsio.resolve(dest, filesystem)
+        chunks_dir = fsio.join(root, "chunks")
+        commits_dir = fsio.join(root, "_commits")
+        tmp_dir = fsio.join(root, "_tmp")
+        for d in (chunks_dir, commits_dir, tmp_dir):
+            fsio.mkdirs(fs, d)
+        out_schema = metric_batch_schema()
+        for rb in batches:
+            for b, snap, pid in zip(
+                rb.column(rb.schema.get_field_index("bucket")).to_pylist(),
+                rb.column(rb.schema.get_field_index("snap")).to_pylist(),
+                rb.column(rb.schema.get_field_index("part_id")).to_pylist(),
+            ):
+                src_fs, src_root = fsio.resolve(snap, filesystem)
+                src = fsio.join(src_root, "chunks", f"part-{int(pid):06d}.parquet")
+                out = copy_chunk_file(
+                    fs, chunks_dir, commits_dir, tmp_dir, src_fs, src,
+                    int(b), {"layout_copied_from": f"{snap}#{int(pid)}"},
+                    out_schema,
+                )
+                if out is not None:
+                    yield out
+
+    return keep_df.repartition("bucket").mapInArrow(copy_tasks, CHUNK_SCHEMA)
+
+
 _LOSSY = object()  # sentinel: a bound that cannot enter page-stat space
 
 
@@ -174,6 +247,7 @@ def encode_fused(
     cfg,
     snapshot_dir: str,
     n_resumed: int = 0,
+    keep_df: DataFrame | None = None,
 ) -> dict:
     """Run the fused per-bucket merge+encode job and finalize lineage.
 
@@ -406,6 +480,13 @@ def encode_fused(
                 yield from out.to_batches()
 
     metrics_df = arranged.mapInArrow(run_buckets, CHUNK_SCHEMA)
+    if keep_df is not None:
+        # keeper buckets ride the SAME single action: their copy tasks
+        # and the merge tasks are partitions of one metric-row frame,
+        # so commit/lineage semantics are identical to the pure plan
+        metrics_df = metrics_df.unionByName(
+            copy_keepers_metrics(keep_df, snapshot_dir, cfg)
+        )
     return commit_metrics_action(
         spark, metrics_df, snapshot_dir, cfg, columns, empty_df, n_parts, t0,
         n_resumed,

@@ -472,11 +472,20 @@ def _local_merge_compact(
     snap_dir: str,
     force: bool = False,
     bounds_override: list | None = None,
+    keep_pure: bool = False,
 ) -> dict | None:
     """Run the exchange-free FUSED compaction (merge_compact module) and
     return its lineage — or None to fall back to the shuffle plan (no
     grids for the column, unsupported key type, bloom columns configured,
-    or plan fan-out over the limit when not forced)."""
+    or plan fan-out over the limit when not forced).
+
+    ``keep_pure=True`` (set by ``compact()`` when STICKY bounds were
+    reused) enables the INCREMENTAL re-layout: buckets whose single
+    input partition is already bucket-pure — untouched by any delta
+    since the last layout pass — are carried over verbatim at IO speed
+    (binpack-style copy, stats/indexes preserved); only buckets that
+    received delta rows merge. At 100 TB this is the difference between
+    rewriting the table and rewriting the deltas."""
     from dataclasses import replace as _replace
 
     from pyspark.sql import functions as F
@@ -518,16 +527,29 @@ def _local_merge_compact(
         plan_df = plan_df.filter(
             ~F.col("bucket").isin([int(p) for p in already])
         )
+    keep_df, n_kept = None, 0
+    if keep_pure:
+        eligible = [
+            sdir for _sid, sdir in snaps
+            if set(decode_job.lineage(sdir, filesystem=cfg.filesystem)["columns"])
+            == set(lin["columns"])
+        ]
+        kd, md = merge_compact.split_keepers(plan_df, eligible)
+        n_kept = kd.count()  # tiny metadata job (plan rows are KBs)
+        if n_kept:
+            keep_df, plan_df = kd.drop("w"), md
     sort_cols = (
         [cfg.sort_by] if isinstance(cfg.sort_by, str) else list(cfg.sort_by or [])
     )
     sort_cols = layout_cols + [c for c in sort_cols if c not in layout_cols]
-    return merge_compact.encode_fused(
+    out = merge_compact.encode_fused(
         spark, plan_df.drop("w"), primary, bounds, sort_cols, n_parts,
         lin["schema"], lin["columns"],
         _replace(cfg, sort_by=tuple(sort_cols)),
-        snap_dir, n_resumed=len(already),
+        snap_dir, n_resumed=len(already), keep_df=keep_df,
     )
+    out["layout_kept"] = int(n_kept)
+    return out
 
 
 def _check_additive_schema(fs, root: str, man: dict, new_schema: dict, exc) -> None:
@@ -804,6 +826,7 @@ def compact(
         lin = _local_merge_compact(
             spark, table_dir, cfg, range_layout_on, snap_dir,
             force=bool(local_merge), bounds_override=layout_bounds,
+            keep_pure=layout_reused,
         )
     if lin is not None:
         lin["compaction_path"] = "local_merge"

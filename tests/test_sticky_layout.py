@@ -130,6 +130,70 @@ class TestStickyBounds:
         lin2 = table.compact(spark, td, cfg, range_layout_on="url")
         assert lin2["layout_bounds_reused"] is True
 
+    def test_incremental_relayout_keeps_untouched_buckets(self, spark, tmp_path):
+        """The payoff of sticky bounds: re-compacting after a LOCALIZED
+        delta copies every bucket the delta didn't touch VERBATIM (no
+        decode) and merges only where delta rows landed."""
+        import json
+        import os
+
+        td = str(tmp_path / "t")
+        cfg = _cfg()
+        table.append(spark, _corpus(spark, 6000), td, cfg,
+                     range_layout_on="url")
+        table.compact(spark, td, cfg, range_layout_on="url")  # 6 buckets
+
+        # a delta entirely ABOVE the last boundary (hosts sort after
+        # zeta): only the last bucket receives rows
+        delta = spark.range(500).select(
+            F.concat(F.lit("https://www.zzz.example.com/p/"),
+                     F.format_string("%06d", F.col("id"))).alias("url"),
+            (F.col("id") + 10_000_000).alias("v"))
+        table.append(spark, delta, td, cfg, range_layout_on="url")
+
+        lin = table.compact(spark, td, cfg, range_layout_on="url")
+        assert lin["compaction_path"] == "local_merge"
+        assert lin["layout_bounds_reused"] is True
+        assert lin["layout_kept"] == 5, lin
+        # the commit markers prove which buckets were copied vs merged
+        man = table.read_manifest(td)
+        snap = os.path.join(td, man["snapshots"][0]["dir"])
+        copied = sorted(
+            int(json.load(open(os.path.join(snap, "_commits", f)))["part_id"])
+            for f in os.listdir(os.path.join(snap, "_commits"))
+            if "layout_copied_from" in json.load(
+                open(os.path.join(snap, "_commits", f)))
+        )
+        assert copied == [0, 1, 2, 3, 4]
+        src = _corpus(spark, 6000).unionByName(delta)
+        rep = validate.digest_frames(src, decode_job.decode(spark, td))
+        assert rep["bit_identical"], rep
+        # disjoint spans still hold across copied + merged buckets
+        ch = decode_job.chunks_df(spark, td).filter(F.col("column") == "url")
+        spans = sorted((r["min_bin"], r["max_bin"]) for r in ch.collect())
+        assert len(spans) == 6
+        for (_, ahi), (blo, _) in zip(spans, spans[1:]):
+            assert ahi < blo
+
+    def test_full_span_delta_merges_everything(self, spark, tmp_path):
+        """A delta spread over the whole key range leaves no bucket
+        untouched: layout_kept == 0 and every bucket merges — result
+        still exact."""
+        td = str(tmp_path / "t")
+        cfg = _cfg()
+        table.append(spark, _corpus(spark, 6000), td, cfg,
+                     range_layout_on="url")
+        table.compact(spark, td, cfg, range_layout_on="url")
+        table.append(spark, _corpus(spark, 900, voff=6000), td, cfg,
+                     range_layout_on="url")
+        lin = table.compact(spark, td, cfg, range_layout_on="url")
+        assert lin["layout_bounds_reused"] is True
+        assert lin["compaction_path"] == "local_merge"
+        assert lin["layout_kept"] == 0
+        rep = validate.digest_frames(
+            _corpus(spark, 6900), decode_job.decode(spark, td))
+        assert rep["bit_identical"], rep
+
     def test_newer_layout_on_other_column_supersedes(self, spark, tmp_path):
         td = str(tmp_path / "t")
         cfg = _cfg()
