@@ -316,6 +316,26 @@ def quantiles(
     the ranks."""
     from ..plans import quantile as q_mod
 
+    grids, weights = _gather_grids(
+        spark, snapshot_dir, column, filesystem, as_of, since
+    )
+    return q_mod.estimate(grids, weights, qs)
+
+
+def _gather_grids(
+    spark: SparkSession,
+    snapshot_dir: str,
+    column: str,
+    filesystem=None,
+    as_of: int | None = None,
+    since: int | None = None,
+) -> tuple[list, list | None]:
+    """(grids, weights) ready for ``plans.quantile`` rank algebra —
+    the shared gather behind ``quantiles`` and ``bucket_weights``:
+    self-weighted dict grids on the small-table collect path, bounded
+    per-scan-partition summaries plus totals on the distributed path."""
+    from ..plans import quantile as q_mod
+
     ddl = lineage(snapshot_dir, filesystem=filesystem)["schema"].get(column)
     if ddl is None:
         raise KeyError(f"column {column} not in snapshot schema")
@@ -360,7 +380,7 @@ def quantiles(
                 )
             if r["qgrid"] is not None:
                 grids.append(json.loads(r["qgrid"]))
-        return q_mod.estimate(grids, None, qs)
+        return grids, None
 
     def partial(pdfs):
         for pdf in pdfs:
@@ -384,7 +404,30 @@ def quantiles(
         )
     grids = [json.loads(r["summary"]) for r in parts if r["total"]]
     weights = [int(r["total"]) for r in parts if r["total"]]
-    return q_mod.estimate(grids, weights, qs)
+    return grids, weights
+
+
+def bucket_weights(
+    spark: SparkSession,
+    snapshot_dir: str,
+    column: str,
+    bounds: list,
+    filesystem=None,
+) -> list[float]:
+    """Predicted relative row mass of each bucket under split points
+    ``bounds`` (zone-map units; ``bytes`` for string/binary keys) —
+    ``len(bounds) + 1`` fractions summing to ~1, from the table's
+    quantile grids alone (no data scan). This is how sticky layout
+    bounds are AUDITED before reuse: a hot bucket that absorbed skewed
+    deltas shows up as a fraction far above 1/n_buckets, and the caller
+    re-derives fresh bounds instead of letting one bucket grow to
+    many × target_rows (operators/table._resolve_layout_bounds)."""
+    from ..plans import quantile as q_mod
+
+    grids, weights = _gather_grids(spark, snapshot_dir, column, filesystem)
+    cs = q_mod.cdf(grids, weights, list(bounds))
+    edges = [0.0] + [float(c) for c in cs] + [1.0]
+    return [max(0.0, b - a) for a, b in zip(edges, edges[1:])]
 
 
 def range_bounds(

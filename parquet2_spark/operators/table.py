@@ -304,6 +304,13 @@ def _write_layout_sidecar(cfg: EncodeConfig, snap_dir: str, primary: str,
     })
 
 
+# reuse stored layout bounds only while the heaviest predicted bucket
+# stays under this multiple of the mean (audited from the table's
+# quantile grids); above it, fresh bounds re-equalize even inside the
+# size window — a hot bucket absorbing skewed deltas must not compound
+LAYOUT_REBALANCE_LIMIT = 2.5
+
+
 def _newest_layout_doc(table_dir: str, cfg: EncodeConfig) -> dict | None:
     """The most recent committed snapshot's ``_layout.json``, any
     column, or None. O(#snapshots) tiny metadata reads; stops at the
@@ -341,7 +348,17 @@ def _resolve_layout_bounds(
     partitions stay bucket-pure) and zone maps comparable across
     snapshots. Outside the window (the table grew or the target
     changed), fall back to fresh grid-derived bounds, re-equalizing.
-    Returns (bounds, n_parts, reused)."""
+
+    The size window alone is not enough at scale: its growth allowance
+    is a FRACTION OF THE TABLE, so with many buckets a skewed delta
+    stream can pour the whole allowance into one bucket (sp=1000,
+    +25% into one key range → a 251×target partition) while the window
+    still says reuse. Before reusing, the stored bounds are therefore
+    AUDITED against the table's CURRENT quantile grids
+    (``decode_job.bucket_weights`` — metadata only): if the heaviest
+    predicted bucket exceeds ``LAYOUT_REBALANCE_LIMIT`` × the mean,
+    fresh bounds re-equalize instead. Returns (bounds, n_parts,
+    reused)."""
     from . import decode_job
 
     needed = max(1, -(-int(total_rows) // cfg.target_rows))  # ceil
@@ -349,7 +366,21 @@ def _resolve_layout_bounds(
     if stored is not None:
         sp = int(stored["n_parts"])
         if max(1, int(sp * 0.6)) <= needed <= max(1, int(sp * 1.25)):
-            return _bounds_from_json(stored["bounds"]), sp, True
+            bounds = _bounds_from_json(stored["bounds"])
+            balanced = True
+            if bounds:
+                try:
+                    wts = decode_job.bucket_weights(
+                        spark, table_dir, primary, bounds,
+                        filesystem=cfg.filesystem,
+                    )
+                    balanced = (
+                        max(wts) * len(wts) <= LAYOUT_REBALANCE_LIMIT
+                    )
+                except (ValueError, KeyError):
+                    pass  # grids unreadable: fresh bounds would fail too
+            if balanced:
+                return bounds, sp, True
     return (
         decode_job.range_bounds(
             spark, table_dir, primary, needed, filesystem=cfg.filesystem

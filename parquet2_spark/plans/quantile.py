@@ -168,6 +168,29 @@ def merge_to_summary(grids: list, weights: list | None = None, points: int = PAR
     return [x.item() for x in g], int(round(total))
 
 
+def cdf(grids: list, weights: list | None, xs: list) -> list[float]:
+    """Estimated CDF positions — the fraction of rows with value ≤ x —
+    for each x (zone-map units; ``bytes`` for byte grids). The inverse
+    of ``estimate``: where estimate maps rank→value, this maps
+    value→rank, which is what bucket-weight prediction needs (mass of
+    bucket (lo, hi] = cdf(hi) − cdf(lo)). Same rank algebra and error
+    bound (≤ N/K per grid) as estimate."""
+    v, w = _points(grids, weights)
+    if len(v) == 0:
+        return [float("nan")] * len(xs)
+    cum = np.cumsum(w)
+    total = cum[-1]
+    if total == 0:
+        return [float("nan")] * len(xs)
+    out = []
+    for x in xs:
+        if v.dtype.kind == "S":
+            x = np.asarray([bytes(x)[:BYTES_PREFIX]], dtype=v.dtype)[0]
+        i = int(np.searchsorted(v, x, side="right"))
+        out.append(float(cum[i - 1] / total) if i > 0 else 0.0)
+    return out
+
+
 def estimate(grids: list, weights: list | None, qs: list[float]) -> list:
     """Quantile estimates at fractions ``qs``; ``grids`` are dict grids
     (self-weighted) or plain summary lists weighted by ``weights``.

@@ -35,6 +35,28 @@ class TestSketchMath:
             rank = np.searchsorted(allv, est) / N
             assert abs(rank - q) <= 1.5 / q_mod.K + 0.01, (q, rank)
 
+    def test_cdf_inverts_estimate(self):
+        v = np.arange(0, 100_000)
+        g = q_mod.grid_from_values(v)
+        cs = q_mod.cdf([g], None, [25_000, 50_000, 75_000, -1, 200_000])
+        for c, want in zip(cs, [0.25, 0.5, 0.75, 0.0, 1.0]):
+            assert abs(c - want) <= 1.5 / q_mod.K + 0.01, (c, want)
+
+    def test_cdf_merged_grids_weighted(self):
+        # two grids, one 3x the weight of the other, disjoint ranges:
+        # everything <= 999 is exactly the light grid's quarter share
+        g1 = q_mod.grid_from_values(np.arange(0, 1000))
+        g2 = q_mod.grid_from_values(np.arange(10_000, 13_000))
+        c = q_mod.cdf([g1, g2], None, [5000])[0]
+        assert abs(c - 0.25) <= 0.02
+
+    def test_cdf_byte_grids(self):
+        vals = np.array([b"a%03d" % i for i in range(1000)], dtype="S8")
+        g = q_mod.grid_from_bytes(vals)
+        cs = q_mod.cdf([g], None, [b"a249", b"a499", b"zzz"])
+        for c, want in zip(cs, [0.25, 0.5, 1.0]):
+            assert abs(c - want) <= 1.5 / q_mod.K + 0.01, (c, want)
+
     def test_partial_summary_roundtrip(self):
         rng = np.random.default_rng(11)
         chunks = [rng.normal(size=4000) for _ in range(20)]

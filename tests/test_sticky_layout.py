@@ -194,6 +194,37 @@ class TestStickyBounds:
             _corpus(spark, 6900), decode_job.decode(spark, td))
         assert rep["bit_identical"], rep
 
+    def test_hot_bucket_forces_refresh_inside_size_window(
+            self, spark, tmp_path):
+        """The size window alone would reuse (needed 20 ≤ 1.25×16), but
+        the whole +25% growth landed in ONE bucket — the grid audit
+        sees the 2500-row bucket (4× the 625 mean) over
+        LAYOUT_REBALANCE_LIMIT and re-derives fresh bounds."""
+        td = str(tmp_path / "t")
+        cfg = _cfg(target_rows=500)
+        table.append(spark, _corpus(spark, 8000), td, cfg,
+                     range_layout_on="v")
+        table.compact(spark, td, cfg, range_layout_on="v")
+        assert table._stored_layout(td, cfg, "v")["n_parts"] == 16
+        table.append(spark, _corpus(spark, 2000, voff=8000), td, cfg,
+                     range_layout_on="v")
+        lin = table.compact(spark, td, cfg, range_layout_on="v")
+        assert lin["layout_bounds_reused"] is False
+        assert table._stored_layout(td, cfg, "v")["n_parts"] == 20
+
+    def test_low_skew_delta_reuses_inside_size_window(self, spark, tmp_path):
+        """Same growth, spread over several buckets: audit passes,
+        bounds stay sticky."""
+        td = str(tmp_path / "t")
+        cfg = _cfg(target_rows=500)
+        table.append(spark, _corpus(spark, 8000), td, cfg,
+                     range_layout_on="v")
+        table.compact(spark, td, cfg, range_layout_on="v")
+        table.append(spark, _corpus(spark, 2000), td, cfg,
+                     range_layout_on="v")  # keys 0..1999: four buckets
+        lin = table.compact(spark, td, cfg, range_layout_on="v")
+        assert lin["layout_bounds_reused"] is True
+
     def test_newer_layout_on_other_column_supersedes(self, spark, tmp_path):
         td = str(tmp_path / "t")
         cfg = _cfg()
