@@ -127,6 +127,47 @@ def write_parquet_atomic(
             pq.write_table(table, f, **kwargs)
 
 
+def copy_file_atomic(
+    src_fs: pafs.FileSystem,
+    src: str,
+    fs: pafs.FileSystem,
+    path: str,
+    tmp_dir: str | None = None,
+    chunk: int = 8 << 20,
+) -> None:
+    """Byte-verbatim file copy with the same atomicity contract as
+    ``write_parquet_atomic`` (local: stage in ``tmp_dir`` + rename;
+    object stores: single PUT). This is the COPY-BY-REFERENCE hook for
+    table maintenance: part identity lives in the FILENAME (readers
+    derive ``part_id`` from it), so carrying a partition into a new
+    snapshot never rewrites its parquet — an object-store deployment
+    replaces this stream loop with the store's server-side copy
+    (S3 CopyObject / GCS rewrite) and moves ZERO bytes through the
+    worker. Locally it streams at IO speed, no parquet parse."""
+
+    def _pump(out) -> None:
+        with src_fs.open_input_stream(src) as fi:
+            while True:
+                b = fi.read(chunk)
+                if not b:
+                    break
+                out.write(b)
+
+    if _is_local(fs):
+        base = posixpath.basename(path)
+        tmp = (
+            join(tmp_dir, f"{base}.tmp-{uuid.uuid4().hex[:8]}")
+            if tmp_dir
+            else f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        )
+        with fs.open_output_stream(tmp) as fo:
+            _pump(fo)
+        fs.move(tmp, path)
+    else:
+        with fs.open_output_stream(path) as fo:
+            _pump(fo)
+
+
 def delete_dir(fs: pafs.FileSystem, path: str) -> None:
     try:
         fs.delete_dir(path)

@@ -97,10 +97,17 @@ def copy_chunk_file(
     marker_extra: dict,
     out_schema: pa.Schema,
 ) -> pa.RecordBatch | None:
-    """Carry one partition's chunk parquet over VERBATIM: read, patch
-    the embedded ``part_id`` to ``npid``, write atomically, record the
-    commit marker. Payload bytes are never decoded; stats/indexes ride
-    along unchanged. Returns the metric record batch, or None when the
+    """Carry one partition's chunk parquet into the new snapshot as a
+    BYTE-VERBATIM copy and record the commit marker. Part identity
+    lives in the FILENAME — every reader derives ``part_id`` from it
+    (``decode_job.chunks_df``), so the embedded column's old value is
+    dead weight and the file needs NO rewrite: locally the copy streams
+    at IO speed with no parquet parse; on an object store the
+    ``fsio.copy_file_atomic`` hook becomes a server-side copy moving
+    zero bytes through the worker. Metric rows come from a
+    column-projected read of the slim stat columns (payload chunks are
+    never fetched), with ``part_id`` patched to ``npid`` in the METRIC
+    stream only. Returns the metric record batch, or None when the
     marker already exists (resume). Shared by binpack compaction and
     the incremental re-layout keeper path (merge_compact)."""
     tw0 = time.time()
@@ -108,21 +115,20 @@ def copy_chunk_file(
     if fsio.exists(fs, marker_path):
         return None  # resume: this keeper already carried over
     with src_fs.open_input_file(src_path) as f:
-        tbl = pq.read_table(f)
-    n = tbl.num_rows
-    tbl = tbl.set_column(
-        tbl.schema.get_field_index("part_id"),
-        "part_id",
-        pa.array([npid] * n, pa.int64()),
-    )
+        pf = pq.ParquetFile(f)
+        present = [c for c in _METRIC_COLS if c in pf.schema_arrow.names]
+        mt = pf.read(columns=present)
+    n = mt.num_rows
     final = fsio.join(chunks_dir, f"part-{npid:06d}.parquet")
-    fsio.write_parquet_atomic(fs, final, tbl, tmp_dir=tmp_dir, compression="none")
+    fsio.copy_file_atomic(src_fs, src_path, fs, final, tmp_dir=tmp_dir)
     wall = time.time() - tw0
     rows_n = 0
     arrs = []
     for c in _METRIC_COLS:
-        if c in tbl.schema.names:
-            arr = tbl.column(c).combine_chunks().cast(_METRIC_TYPES[c])
+        if c == "part_id":
+            arr = pa.array([npid] * n, pa.int64())
+        elif c in mt.schema.names:
+            arr = mt.column(c).combine_chunks().cast(_METRIC_TYPES[c])
         else:  # chunk file from before this stat column existed
             arr = pa.nulls(n, _METRIC_TYPES[c])
         if c == "n_rows":

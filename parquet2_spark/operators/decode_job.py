@@ -144,8 +144,9 @@ def chunks_df(
     ``_per_snapshot_filter`` (internal, binpack compaction): a callable
     ``sid -> Column | None`` applied to each snapshot's frame BEFORE the
     part_id namespacing and the union — so a predicate over raw chunk
-    columns (``n_rows``, local ``part_id``) PUSHES DOWN into that
-    snapshot's parquet scan. Every chunk file holds one partition
+    columns (``n_rows`` et al; NOT ``part_id``, whose embedded value is
+    stale in verbatim-copied files — identity is the filename) PUSHES
+    DOWN into that snapshot's parquet scan. Every chunk file holds one partition
     (constant ``n_rows``/``part_id`` per file ⇒ min==max row-group
     stats), so pruned partitions' payload bytes are never read. ``None``
     from the callable keeps the whole snapshot."""
@@ -166,7 +167,7 @@ def chunks_df(
                 d.withColumn(
                     "part_id",
                     (F.lit(sid).cast("long") * F.lit(1 << table_mod.SNAP_SHIFT))
-                    + F.col("part_id"),
+                    + _filename_part_id(),
                 )
             )
         if not parts:
@@ -181,12 +182,34 @@ def chunks_df(
             # column existed (e.g. bloom) union with nulls there
             out = out.unionByName(p, allowMissingColumns=True)
         return out
-    out = spark.read.parquet(os.path.join(snapshot_dir, "chunks"))
+    out = spark.read.parquet(os.path.join(snapshot_dir, "chunks")).withColumn(
+        "part_id", _filename_part_id()
+    )
     if _per_snapshot_filter is not None:
         cond = _per_snapshot_filter(0)
         if cond is not None:
             out = out.filter(cond)
     return out
+
+
+def _filename_part_id():
+    """``part_id`` derived from the chunk FILENAME (``part-NNNNNN``) —
+    the authoritative partition identity. Verbatim-copied chunk files
+    (binpack keepers, incremental re-layout keepers) keep their OLD
+    embedded ``part_id`` column untouched: the rename IS the renumber,
+    which is what lets maintenance carry partitions by server-side copy
+    on object stores instead of rewriting parquet. The embedded column
+    still rides in every file (writers emit it; it equals the filename
+    for freshly-encoded partitions) but no reader trusts it.
+
+    Uses the ``_metadata.file_name`` hidden column, NOT
+    ``input_file_name()``: the latter is nondeterministic, and Catalyst
+    refuses to push ANY filter through a nondeterministic Project —
+    zone-map and column predicates would stop reaching the parquet scan
+    (caught by tests/test_plans_audit.py)."""
+    return F.regexp_extract(
+        F.col("_metadata.file_name"), r"part-(\d+)\.parquet", 1
+    ).cast("long")
 
 
 def stats(spark: SparkSession, snapshot_dir: str) -> DataFrame:
@@ -850,7 +873,19 @@ def decode(
         _per_snapshot_filter=_chunk_filter,
     )
     if row_spans is not None:
-        df = df.filter(F.col("part_id").isin(list(row_spans)) if row_spans else F.lit(False))
+        if not row_spans:
+            df = df.filter(F.lit(False))
+        else:
+            # surviving partitions as an EXPLICIT file list — stronger
+            # than the old pushed IN(part_id) filter: non-surviving
+            # files are never listed, opened, or footer-read, and the
+            # embedded part_id (stale in verbatim-copied keepers) plays
+            # no part. row_range is single-snapshot by contract, so the
+            # chunks frame is exactly these files.
+            df = spark.read.parquet(*[
+                os.path.join(snapshot_dir, "chunks", f"part-{pid:06d}.parquet")
+                for pid in sorted(row_spans)
+            ]).withColumn("part_id", _filename_part_id())
     # key_range (single) and key_ranges (multi, AND-combined) normalize to
     # one predicate list; each predicate prunes partitions independently
     # (intersection via chained broadcast semijoins), pages inside

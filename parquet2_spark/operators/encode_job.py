@@ -823,17 +823,24 @@ def finalize(
     """
     fs, root = fsio.resolve(snapshot_dir, cfg.filesystem)
     chunks_dir = fsio.join(root, "chunks")
-    have_chunks = fsio.is_dir(fs, chunks_dir) and any(
-        f.endswith(".parquet") for f in fsio.listdir(fs, chunks_dir)
+    chunk_files = (
+        [f for f in fsio.listdir(fs, chunks_dir) if f.endswith(".parquet")]
+        if fsio.is_dir(fs, chunks_dir)
+        else []
     )
+    have_chunks = bool(chunk_files)
     per_col: dict[str, dict] = {}
     n_committed = 0
     max_part_rows = 0
     if precomputed is not None:
         per_col, n_committed, max_part_rows = precomputed
     elif have_chunks and cfg.filesystem is None:
+        # one chunk file per partition, identity in the filename: the
+        # committed-partition count is the FILE count (the embedded
+        # part_id column is stale in verbatim-copied keepers)
+        n_committed = len(chunk_files)
         ch = spark.read.parquet(os.path.join(snapshot_dir, "chunks")).select(
-            "part_id", "column", "codecs", "raw_bytes", "enc_bytes", "n_rows"
+            "column", "codecs", "raw_bytes", "enc_bytes", "n_rows"
         )
         agg_rows = (
             ch.groupBy("column")
@@ -844,7 +851,6 @@ def finalize(
                 F.array_sort(
                     F.array_distinct(F.flatten(F.collect_list(F.split("codecs", ","))))
                 ).alias("codecs"),
-                F.countDistinct("part_id").alias("n_parts"),
                 F.max("n_rows").alias("max_part_rows"),
             )
             .collect()
@@ -856,16 +862,16 @@ def finalize(
                 "n_rows": int(r["n_rows"]),
                 "codecs": sorted(set(r["codecs"])),
             }
-            n_committed = max(n_committed, int(r["n_parts"]))
             max_part_rows = max(max_part_rows, int(r["max_part_rows"] or 0))
     elif have_chunks:
         # custom metadata-plane filesystem: Spark cannot address the
         # path, so prune to the metric columns (parquet columnar —
         # payload bytes are never read) and reduce through pyarrow
+        n_committed = len(chunk_files)
         tbl = pq.read_table(
             chunks_dir,
             filesystem=fs,
-            columns=["part_id", "column", "codecs", "raw_bytes", "enc_bytes", "n_rows"],
+            columns=["column", "codecs", "raw_bytes", "enc_bytes", "n_rows"],
         )
         g = tbl.group_by("column").aggregate(
             [
@@ -873,7 +879,6 @@ def finalize(
                 ("enc_bytes", "sum"),
                 ("n_rows", "sum"),
                 ("n_rows", "max"),
-                ("part_id", "count_distinct"),
                 ("codecs", "distinct"),
             ]
         )
@@ -884,7 +889,6 @@ def finalize(
                 "n_rows": int(r["n_rows_sum"]),
                 "codecs": sorted({c for s in r["codecs_distinct"] for c in s.split(",")}),
             }
-            n_committed = max(n_committed, int(r["part_id_count_distinct"]))
             max_part_rows = max(max_part_rows, int(r["n_rows_max"] or 0))
 
     lineage = {

@@ -89,10 +89,15 @@ def plan(
             e = e + (stat > lt).cast("int")
         return F.coalesce(e, F.lit(0))
 
+    from .decode_job import _filename_part_id
+
     frames = []
     for _sid, sdir in snaps:
         meta = (
             spark.read.parquet(fsio.join(sdir, "chunks"))
+            # identity from the FILENAME: copied keepers carry a stale
+            # embedded part_id, and this pid names the file we re-open
+            .withColumn("part_id", _filename_part_id())
             .select("part_id", "column", "min_bin", "max_bin", "min_num",
                     "max_num", "min_dbl", "max_dbl", "null_count", "n_rows")
         )
