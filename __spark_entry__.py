@@ -761,14 +761,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def table_append_decode(spark, sf_dir):
-        """Incremental ingestion THROUGH a maintenance cycle: three
-        batches appended as separate snapshots, then compact() — which
-        defaults to BIN-PACK (operators/binpack.py): the two in-window
-        partitions are carried over verbatim (part_id renumbered,
-        payload never decoded) and the 50-row tail re-encodes — must
-        decode to exactly the union (bit-identical), so the flat SQL
-        scan is the oracle. This puts the binpack copy path (renumber,
-        metrics, finalize) in the driver's correctness record."""
+        """Incremental ingestion THROUGH three maintenance cycles: three
+        batches appended as separate snapshots; (1) plain compact() —
+        BIN-PACK (operators/binpack.py): the two in-window partitions
+        are carried over as RAW BYTE COPIES (identity = the filename,
+        stale embedded part_id, payload never parsed) and the 50-row
+        tail re-encodes; (2) a RANGE-LAYOUT compact on doc_id, which
+        persists sticky split points; (3) a second layout compact that
+        must REUSE those bounds and carry EVERY bucket verbatim — the
+        incremental re-layout path (operators/merge_compact
+        split_keepers) with an empty merge plan. The decode after all
+        three cycles must equal the flat SQL scan bit-identically, so
+        the driver's record pins binpack copy, sticky reuse, and
+        keeper-only re-layout in one query."""
         import tempfile as _tf
 
         from parquet2_spark.operators import decode_job
@@ -788,6 +793,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lin = compact(spark, tdir, cfg)
         assert lin["compaction_path"] == "binpack", lin["compaction_path"]
         assert lin["binpack_kept"] == 2, lin["binpack_kept"]
+        lin = compact(spark, tdir, cfg, range_layout_on="doc_id")
+        assert lin["layout_bounds_reused"] is False
+        lin = compact(spark, tdir, cfg, range_layout_on="doc_id")
+        assert lin["compaction_path"] == "local_merge", lin["compaction_path"]
+        assert lin["layout_bounds_reused"] is True
+        assert lin["layout_kept"] == 2, lin["layout_kept"]
         return decode_job.decode(spark, tdir)
 
     def table_time_travel(spark, sf_dir):
