@@ -86,6 +86,8 @@ def main(argv: list[str] | None = None) -> int:
                          "changing codec config)")
     sp = sub.add_parser("drift")
     sp.add_argument("table")
+    sp = sub.add_parser("layout")
+    sp.add_argument("table")
     sp = sub.add_parser("vacuum")
     sp.add_argument("table")
     sp.add_argument("--older-than", type=float, default=86400.0, metavar="SECONDS",
@@ -141,6 +143,31 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     spark = _spark()
+    if args.cmd == "layout":
+        # the operative sticky layout: stored split points + how the
+        # CURRENT data distributes over them (predicted from quantile
+        # grids, metadata only) + committed-partition drift
+        from .operators import table as table_mod
+        from .operators.encode_job import EncodeConfig
+
+        cfg = EncodeConfig()
+        doc = table_mod._newest_layout_doc(args.table, cfg)
+        if doc is None:
+            print(json.dumps({"layout": None}))
+            return 0
+        bounds = table_mod._bounds_from_json(doc["bounds"])
+        wts = (
+            decode_job.bucket_weights(spark, args.table, doc["column"], bounds)
+            if bounds else [1.0]
+        )
+        print(json.dumps({
+            "column": doc["column"],
+            "n_parts": int(doc["n_parts"]),
+            "heaviest_over_mean": round(max(wts) * len(wts), 3),
+            "rebalance_limit": table_mod.LAYOUT_REBALANCE_LIMIT,
+            "layout_drift": table_mod.layout_drift(args.table),
+        }))
+        return 0
     if args.cmd == "stats":
         decode_job.stats(spark, args.snapshot).show(200, truncate=False)
         return 0

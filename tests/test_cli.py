@@ -233,3 +233,33 @@ def test_cli_drift(spark, tmp_path_factory):
     assert rc == 0
     rep = _json.loads(buf.getvalue().strip().splitlines()[-1])
     assert rep["layout_drift"] is not None and rep["layout_drift"] >= 1.0
+
+
+def test_cli_layout(spark, tmp_path_factory):
+    import json as _json
+
+    from parquet2_spark import cli
+    from parquet2_spark.operators import table
+    from parquet2_spark.operators.encode_job import EncodeConfig
+    import io, contextlib
+
+    tdir = str(tmp_path_factory.mktemp("cli_layout"))
+    cfg = EncodeConfig(target_rows=1000, key="k", sort_by="k",
+                       host_from_key=False)
+    table.append(spark, spark.range(4000).select(F.col("id").alias("k")),
+                 tdir, cfg)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main(["layout", tdir])
+    assert rc == 0
+    assert _json.loads(buf.getvalue().strip().splitlines()[-1])["layout"] is None
+
+    table.compact(spark, tdir, cfg, range_layout_on="k")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main(["layout", tdir])
+    assert rc == 0
+    rep = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["column"] == "k" and rep["n_parts"] == 4
+    assert 0.9 <= rep["heaviest_over_mean"] <= rep["rebalance_limit"]
+    assert rep["layout_drift"] is not None
