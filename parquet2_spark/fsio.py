@@ -137,13 +137,24 @@ def copy_file_atomic(
 ) -> None:
     """Byte-verbatim file copy with the same atomicity contract as
     ``write_parquet_atomic`` (local: stage in ``tmp_dir`` + rename;
-    object stores: single PUT). This is the COPY-BY-REFERENCE hook for
-    table maintenance: part identity lives in the FILENAME (readers
-    derive ``part_id`` from it), so carrying a partition into a new
-    snapshot never rewrites its parquet — an object-store deployment
-    replaces this stream loop with the store's server-side copy
-    (S3 CopyObject / GCS rewrite) and moves ZERO bytes through the
-    worker. Locally it streams at IO speed, no parquet parse."""
+    object stores: single copy, atomic like PUT). This is the
+    COPY-BY-REFERENCE primitive for table maintenance: part identity
+    lives in the FILENAME (readers derive ``part_id`` from it), so
+    carrying a partition into a new snapshot never rewrites its
+    parquet. Same-filesystem copies go through pyarrow's
+    ``FileSystem.copy_file`` — on S3/GCS that is the store's
+    SERVER-SIDE copy (CopyObject / rewrite), moving ZERO bytes through
+    the worker; locally it is an in-kernel copy. Cross-filesystem
+    copies fall back to a chunked stream."""
+    # same-fs fast path only for filesystems whose paths are absolute
+    # within the store (a SubTreeFileSystem/custom wrapper resolves
+    # paths against ITS prefix — two instances with equal type_name can
+    # still disagree on what a path means)
+    _GLOBAL_NS = {"local", "s3", "gcs", "abfs", "hdfs"}
+    same_fs = src_fs is fs or (
+        getattr(src_fs, "type_name", None) == getattr(fs, "type_name", object())
+        and getattr(fs, "type_name", None) in _GLOBAL_NS
+    )
 
     def _pump(out) -> None:
         with src_fs.open_input_stream(src) as fi:
@@ -153,6 +164,13 @@ def copy_file_atomic(
                     break
                 out.write(b)
 
+    def _write_to(dest: str) -> None:
+        if same_fs:
+            fs.copy_file(src, dest)
+        else:
+            with fs.open_output_stream(dest) as fo:
+                _pump(fo)
+
     if _is_local(fs):
         base = posixpath.basename(path)
         tmp = (
@@ -160,12 +178,10 @@ def copy_file_atomic(
             if tmp_dir
             else f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         )
-        with fs.open_output_stream(tmp) as fo:
-            _pump(fo)
+        _write_to(tmp)
         fs.move(tmp, path)
     else:
-        with fs.open_output_stream(path) as fo:
-            _pump(fo)
+        _write_to(path)
 
 
 def delete_dir(fs: pafs.FileSystem, path: str) -> None:

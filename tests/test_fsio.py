@@ -119,3 +119,30 @@ class TestTableThroughFilesystem:
         # physical check + data-plane decode by local path
         out = decode_job.decode(spark, os.path.join(root, "tbl"))
         assert out.count() == 200
+
+
+class TestCopyFileAtomic:
+    def test_same_fs_local(self, tmp_path):
+        fs = pafs.LocalFileSystem()
+        src = str(tmp_path / "src.bin")
+        data = os.urandom(1 << 20) * 3
+        open(src, "wb").write(data)
+        dst = str(tmp_path / "out" / "dst.bin")
+        fsio.mkdirs(fs, str(tmp_path / "out"))
+        tmpd = str(tmp_path / "_tmp"); fsio.mkdirs(fs, tmpd)
+        fsio.copy_file_atomic(fs, src, fs, dst, tmp_dir=tmpd)
+        assert open(dst, "rb").read() == data
+        assert not os.listdir(tmpd), "tmp staging must be cleaned by the rename"
+
+    def test_cross_fs_streams(self, tmp_path):
+        # subtree -> subtree with DIFFERENT prefixes: same type_name but
+        # prefix-relative paths, so the fast path must NOT engage; the
+        # stream fallback still copies bytes exactly
+        a = tmp_path / "a"; b = tmp_path / "b"
+        a.mkdir(); b.mkdir()
+        fsa = pafs.SubTreeFileSystem(str(a), pafs.LocalFileSystem())
+        fsb = pafs.SubTreeFileSystem(str(b), pafs.LocalFileSystem())
+        data = os.urandom(300_000)
+        (a / "x.bin").write_bytes(data)
+        fsio.copy_file_atomic(fsa, "x.bin", fsb, "y.bin")
+        assert (b / "y.bin").read_bytes() == data
