@@ -55,6 +55,89 @@ from .. import blob, fsio
 # is cheaper
 FANOUT_LIMIT = 3.0
 
+# bucket-of-value above this many split points goes through a
+# vectorized np.searchsorted pandas UDF over the broadcast bounds
+# (O(log n)/row) instead of the chained ``(col > bound)`` Catalyst
+# expression (O(#bounds) codegen terms per row): the chain is fine at
+# 16-64 buckets but blows JVM method-size limits and analysis time at
+# the 10^4-10^6 buckets a 100 TB table needs — the same discipline as
+# the reference's page-index binary search (src/indexes/intervals.rs).
+# Below the threshold the expression path stays (codegen'd, no Python
+# boundary for a handful of compares).
+SEARCHSORTED_MIN_BOUNDS = 64
+
+
+def searchsorted_bucket_bytes(col, bounds: list):
+    """Bucket Column for BYTE split points: count of bounds strictly
+    below the (full, untruncated) binary value, NULL → 0 — exactly the
+    chained ``(col > lit)`` expression's semantics, via one
+    np.searchsorted over the NUL-padded fixed-width bound array.
+
+    Ties need care: values are compared through their BYTES_PREFIX-wide
+    truncation, and NUL padding makes ``b`` and ``b + NUL*`` compare
+    equal — for a value whose padded prefix equals a bound (callers
+    guarantee bounds are ≤ BYTES_PREFIX and never NUL-terminated, the
+    grid-point invariant), ``value > bound`` holds iff the value is
+    strictly longer than the bound, resolved vectorized from the raw
+    lengths."""
+    import pandas as pd
+    from ..plans.quantile import BYTES_PREFIX
+
+    bpad = np.array([bytes(b) for b in bounds], dtype=f"S{BYTES_PREFIX}")
+    blen = np.array([len(bytes(b)) for b in bounds], dtype=np.int64)
+    # NULL routes to bucket 0 through the smallest bound: no bound is
+    # strictly below bounds[0], so searchsorted lands at 0 — and the
+    # UDF input series then needs no null mask at all
+    col = F.coalesce(col, F.lit(bytes(bounds[0])))
+
+    @F.pandas_udf("int")
+    def _bucket(s: pd.Series) -> pd.Series:
+        v = s.to_numpy()
+        vlen = np.fromiter((len(x) for x in v), count=len(v), dtype=np.int64)
+        vpad = np.asarray(v, dtype=f"S{BYTES_PREFIX}")  # truncates at the prefix
+        lo = np.searchsorted(bpad, vpad, side="left").astype(np.int64)
+        hi = np.searchsorted(bpad, vpad, side="right").astype(np.int64)
+        tie = hi > lo
+        out = lo
+        if tie.any():
+            out[tie] = np.where(vlen[tie] > blen[lo[tie]], hi[tie], lo[tie])
+        return pd.Series(out.astype(np.int32))
+
+    return _bucket(col)
+
+
+def searchsorted_bucket_long(col, bounds: list):
+    """Bucket Column for INTEGER split points over a long-typed column
+    (zone-map units): count of bounds strictly below the value, NULL →
+    0. Exact int64 — no float round-trip that would corrupt hash-like
+    keys beyond 2^53."""
+    import pandas as pd
+
+    barr = np.array([int(b) for b in bounds], dtype=np.int64)
+    col = F.coalesce(col, F.lit(int(bounds[0])))
+
+    @F.pandas_udf("int")
+    def _bucket(s: pd.Series) -> pd.Series:
+        v = s.to_numpy()
+        if v.dtype != np.int64:  # defensive: never compare through float
+            v = v.astype(np.int64)
+        return pd.Series(np.searchsorted(barr, v, side="left").astype(np.int32))
+
+    return _bucket(col)
+
+
+def _bounds_searchsorted_safe(bounds: list) -> bool:
+    """May the byte searchsorted path run? Grid-derived bounds always
+    qualify (≤ BYTES_PREFIX bytes, never NUL-terminated — grid_from_bytes
+    strips trailing NULs); arbitrary caller bounds that violate either
+    invariant fall back to the exact expression chain."""
+    from ..plans.quantile import BYTES_PREFIX
+
+    return all(
+        len(bytes(b)) <= BYTES_PREFIX and not bytes(b).endswith(b"\x00")
+        for b in bounds
+    )
+
 
 def plan(
     spark: SparkSession,
@@ -83,7 +166,18 @@ def plan(
         # bucket-of-value, EXACTLY the _range_layout expression: the
         # count of split points strictly below the value. NULL stats
         # (all-null chunk, or the primary column absent from an older
-        # snapshot) route to bucket 0 — nulls-first layout.
+        # snapshot) route to bucket 0 — nulls-first layout. Above
+        # SEARCHSORTED_MIN_BOUNDS the chained expression gives way to
+        # the vectorized searchsorted UDF (identical bucket ids,
+        # asserted in tests) so a 10^4+-bucket plan doesn't blow
+        # Catalyst codegen.
+        if len(bounds) >= SEARCHSORTED_MIN_BOUNDS:
+            if isinstance(b0, (bytes, bytearray)) and _bounds_searchsorted_safe(
+                bounds
+            ):
+                return searchsorted_bucket_bytes(stat, bounds)
+            if isinstance(b0, (int, np.integer)) and not isinstance(b0, bool):
+                return searchsorted_bucket_long(stat, bounds)
         e = F.lit(0)
         for lt in lits:
             e = e + (stat > lt).cast("int")
@@ -137,14 +231,21 @@ def fanout(plan_df: DataFrame) -> float:
     buckets must not veto a plan whose big laid-out partitions are all
     bucket-local (unweighted, 3 tiny wide files among 30 local ones
     read as fan-out 3.9 and forced the shuffle plan; byte-wise the
-    fused plan re-reads ~5% extra)."""
-    pairs_w = plan_df.agg(F.sum("w").alias("s")).collect()[0]["s"] or 0
-    files_w = (
-        plan_df.select("snap", "part_id", "w").distinct()
-        .agg(F.sum("w").alias("s")).collect()[0]["s"]
-        or 0
+    fused plan re-reads ~5% extra).
+
+    ONE Spark job: per-file bucket counts and the file weight reduce in
+    a single two-level agg (``w`` is constant per (snap, part_id) —
+    it is that partition's primary-chunk row count from the plan)."""
+    row = (
+        plan_df.groupBy("snap", "part_id")
+        .agg(F.count(F.lit(1)).alias("_nb"), F.first("w").alias("_w"))
+        .agg(
+            F.sum(F.col("_nb") * F.col("_w")).alias("pairs_w"),
+            F.sum("_w").alias("files_w"),
+        )
+        .collect()[0]
     )
-    return float(pairs_w) / max(1, int(files_w))
+    return float(row["pairs_w"] or 0) / max(1, int(row["files_w"] or 0))
 
 
 def split_keepers(plan_df: DataFrame, eligible_snaps: list[str]):

@@ -463,8 +463,12 @@ def _range_layout(
     # schema-evolved snapshots that decode the column as all-null) would
     # propagate to a NULL bucket and a NULL _part_id downstream — the
     # coalesce routes them to bucket 0 (nulls-first layout).
-    bucket = F.lit(0)
-    if isinstance(bounds[0] if bounds else None, (bytes, bytearray)):
+    from . import merge_compact as mc
+
+    b0 = bounds[0] if bounds else None
+    big = len(bounds) >= mc.SEARCHSORTED_MIN_BOUNDS
+    bucket = None
+    if isinstance(b0, (bytes, bytearray)):
         # string/binary layout key: bounds are truncated byte prefixes
         # (ByteIndex semantics). Compare in BINARY space — UTF-8 byte
         # order equals string order, and a prefix cut mid-codepoint is
@@ -472,13 +476,39 @@ def _range_layout(
         col = F.col(column)
         if ddl != "binary":
             col = col.cast("binary")
-        for b in bounds:
-            bucket = bucket + (col > F.lit(bytes(b))).cast("int")
+        if big and mc._bounds_searchsorted_safe(bounds):
+            # 10^4+-bucket layouts: vectorized searchsorted over the
+            # broadcast bounds instead of an O(#bounds) expression chain
+            # that blows codegen method limits (identical bucket ids,
+            # asserted in tests)
+            bucket = mc.searchsorted_bucket_bytes(col, bounds)
+        else:
+            bucket = F.lit(0)
+            for b in bounds:
+                bucket = bucket + (col > F.lit(bytes(b))).cast("int")
     else:
-        for b in bounds:
-            bucket = bucket + (
-                F.col(column) > decode_job._typed_lit(b, ddl)
-            ).cast("int")
+        is_int = isinstance(b0, (int,)) and not isinstance(b0, bool)
+        if big and is_int and ddl in (
+            "tinyint", "smallint", "int", "bigint", "timestamp", "date"
+        ):
+            # integer/temporal keys compare in zone units (micros/days)
+            # — session-timezone-independent JVM conversions, then the
+            # same vectorized searchsorted (exact int64; float bounds
+            # keep the expression chain: NULL and NaN would conflate in
+            # the pandas boundary while Spark orders NaN greatest)
+            if ddl == "timestamp":
+                col = F.unix_micros(F.col(column))
+            elif ddl == "date":
+                col = F.unix_date(F.col(column))
+            else:
+                col = F.col(column).cast("long")
+            bucket = mc.searchsorted_bucket_long(col, bounds)
+        else:
+            bucket = F.lit(0)
+            for b in bounds:
+                bucket = bucket + (
+                    F.col(column) > decode_job._typed_lit(b, ddl)
+                ).cast("int")
     bucket = F.coalesce(bucket, F.lit(0))
     sort_cols = (
         [cfg.sort_by] if isinstance(cfg.sort_by, str) else list(cfg.sort_by or [])
@@ -549,36 +579,55 @@ def _local_merge_compact(
     )
     if plan_df is None:
         return None  # key type without an exact stats column (decimal)
-    if not force and merge_compact.fanout(plan_df) > merge_compact.FANOUT_LIMIT:
-        return None  # inputs not range-local — the shuffle reads each byte once
-    already = committed_parts(snap_dir, cfg.filesystem)
-    if already:
-        # resume: drop committed buckets from the PLAN, so their input
-        # files are never even opened
-        plan_df = plan_df.filter(
-            ~F.col("bucket").isin([int(p) for p in already])
+    # the metadata plan frame (KBs) feeds three consumers — the fan-out
+    # decision, the keeper split + count, and the fused job itself —
+    # cache it so the chunk-stats scan and explode run once, not 3-4×
+    plan_cached = plan_df = plan_df.persist()
+    try:
+        if not force and merge_compact.fanout(plan_df) > merge_compact.FANOUT_LIMIT:
+            return None  # inputs not range-local — the shuffle reads each byte once
+        already = committed_parts(snap_dir, cfg.filesystem)
+        keep_df, n_kept = None, 0
+        if keep_pure:
+            eligible = [
+                sdir for _sid, sdir in snaps
+                if set(decode_job.lineage(sdir, filesystem=cfg.filesystem)["columns"])
+                == set(lin["columns"])
+            ]
+            # purity is judged on the UNFILTERED plan: a resumed run that
+            # dropped committed buckets first would mis-classify a
+            # multi-bucket input partition whose sibling bucket already
+            # committed as pure, verbatim-copying rows the committed
+            # bucket already holds (duplicates). Committed buckets drop
+            # from BOTH halves afterwards (keeper copies are idempotent
+            # via copy_chunk_file's marker check, but skipping the drop
+            # would still re-open their input files).
+            kd, md = merge_compact.split_keepers(plan_df, eligible)
+            if already:
+                not_done = ~F.col("bucket").isin([int(p) for p in already])
+                kd, md = kd.filter(not_done), md.filter(not_done)
+            n_kept = kd.count()  # tiny metadata job (plan rows are KBs)
+            if n_kept:
+                keep_df = kd.drop("w")
+            plan_df = md
+        elif already:
+            # resume: drop committed buckets from the PLAN, so their
+            # input files are never even opened
+            plan_df = plan_df.filter(
+                ~F.col("bucket").isin([int(p) for p in already])
+            )
+        sort_cols = (
+            [cfg.sort_by] if isinstance(cfg.sort_by, str) else list(cfg.sort_by or [])
         )
-    keep_df, n_kept = None, 0
-    if keep_pure:
-        eligible = [
-            sdir for _sid, sdir in snaps
-            if set(decode_job.lineage(sdir, filesystem=cfg.filesystem)["columns"])
-            == set(lin["columns"])
-        ]
-        kd, md = merge_compact.split_keepers(plan_df, eligible)
-        n_kept = kd.count()  # tiny metadata job (plan rows are KBs)
-        if n_kept:
-            keep_df, plan_df = kd.drop("w"), md
-    sort_cols = (
-        [cfg.sort_by] if isinstance(cfg.sort_by, str) else list(cfg.sort_by or [])
-    )
-    sort_cols = layout_cols + [c for c in sort_cols if c not in layout_cols]
-    out = merge_compact.encode_fused(
-        spark, plan_df.drop("w"), primary, bounds, sort_cols, n_parts,
-        lin["schema"], lin["columns"],
-        _replace(cfg, sort_by=tuple(sort_cols)),
-        snap_dir, n_resumed=len(already), keep_df=keep_df,
-    )
+        sort_cols = layout_cols + [c for c in sort_cols if c not in layout_cols]
+        out = merge_compact.encode_fused(
+            spark, plan_df.drop("w"), primary, bounds, sort_cols, n_parts,
+            lin["schema"], lin["columns"],
+            _replace(cfg, sort_by=tuple(sort_cols)),
+            snap_dir, n_resumed=len(already), keep_df=keep_df,
+        )
+    finally:
+        plan_cached.unpersist()
     out["layout_kept"] = int(n_kept)
     return out
 

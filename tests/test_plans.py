@@ -10,6 +10,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from parquet2_spark.operators import decode_job
 from parquet2_spark.operators.encode_job import EncodeConfig, encode, plan_partitions
@@ -47,7 +48,12 @@ def test_zone_map_filter_pushed_to_parquet_scan(spark, snap):
 
 
 def test_hot_host_join_is_broadcast(spark):
-    df = webgen.webpages_df(spark, 1500, partitions=4)
+    # one hot host (every url shares it) forces a non-empty hot table —
+    # r6 collects it eagerly and re-broadcasts a literal frame, so the
+    # join only exists when there is something to salt
+    df = webgen.webpages_df(spark, 1500, partitions=4).withColumn(
+        "url", F.concat(F.lit("https://hot.example.com/"), F.col("url"))
+    )
     planned, _ = plan_partitions(df, EncodeConfig(target_rows=200))
     plan = _plan(planned)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

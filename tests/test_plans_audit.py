@@ -32,10 +32,23 @@ def snap(spark, tmp_path_factory):
 
 
 def test_encode_planner_broadcasts_hot_hosts(spark):
+    # hot-host salting must never shuffle the data: when hot hosts exist
+    # the (eagerly collected) hot table joins as a BROADCAST literal;
+    # when none exist (this 4-host input, r6) the join vanishes from the
+    # plan entirely — either way no shuffle-side join is acceptable
     df = webgen.webpages_df(spark, 4000, partitions=4)
     planned, _ = plan_partitions(df, EncodeConfig(target_rows=1000))
     plan = _explain(planned)
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    if "Join" in plan:
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # a SKEWED input (one hot host) must still produce the broadcast join
+    hot_df = webgen.webpages_df(spark, 4000, partitions=4).withColumn(
+        "url", F.concat(F.lit("https://hot.example.com/"), F.col("url"))
+    )
+    planned2, _ = plan_partitions(hot_df, EncodeConfig(target_rows=1000))
+    plan2 = _explain(planned2)
+    assert "BroadcastHashJoin" in plan2 or "BroadcastNestedLoopJoin" in plan2
 
 
 def test_decode_projection_pushes_column_filter(spark, snap):
