@@ -146,15 +146,19 @@ def copy_file_atomic(
     SERVER-SIDE copy (CopyObject / rewrite), moving ZERO bytes through
     the worker; locally it is an in-kernel copy. Cross-filesystem
     copies fall back to a chunked stream."""
-    # same-fs fast path only for filesystems whose paths are absolute
-    # within the store (a SubTreeFileSystem/custom wrapper resolves
-    # paths against ITS prefix — two instances with equal type_name can
-    # still disagree on what a path means)
-    _GLOBAL_NS = {"local", "s3", "gcs", "abfs", "hdfs"}
-    same_fs = src_fs is fs or (
-        getattr(src_fs, "type_name", None) == getattr(fs, "type_name", object())
-        and getattr(fs, "type_name", None) in _GLOBAL_NS
-    )
+    # same-fs fast path only when the two filesystem objects PROVABLY
+    # address the same store: identity, or pyarrow's own equals() (which
+    # compares endpoint/credential configuration — two S3FileSystem
+    # instances pointing at different endpoints or credentials compare
+    # unequal, where the old type_name-only heuristic would have routed
+    # a cross-store copy through fs.copy_file with a path that only
+    # resolves in src_fs's store). Anything unprovable streams chunked.
+    same_fs = src_fs is fs
+    if not same_fs:
+        try:
+            same_fs = bool(src_fs.equals(fs))
+        except (AttributeError, TypeError, NotImplementedError):
+            same_fs = False
 
     def _pump(out) -> None:
         with src_fs.open_input_stream(src) as fi:

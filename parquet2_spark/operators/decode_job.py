@@ -66,6 +66,12 @@ def lineage(snapshot_dir: str, as_of: int | None = None, filesystem=None, since:
     return fsio.read_json(fs, fsio.join(root, "_lineage.json"))
 
 
+# row_range prefix sums reduce per group of this many consecutive part
+# ids before the driver sees anything: #partitions/_RR_GROUP scalars to
+# the driver (≤ ~256 rows even at 10^6 partitions), and the within-group
+# window parallelizes across groups instead of one global-order task
+_RR_GROUP = 4096
+
 # the chunk parquet schema as Spark DDL (kept in sync with
 # encode_job.CHUNK_PA_SCHEMA) — used to type a zero-row chunks frame
 _CHUNKS_DDL = (
@@ -831,39 +837,62 @@ def decode(
                 base += prows
         else:
             # partition row counts from the chunk parquet, cumulated
-            # SPARK-SIDE (window cumsum over part_id) so the driver
-            # collects only the partitions whose row interval overlaps —
-            # O(surviving), never O(#partitions); at 10^6 partitions the
-            # old full collect was the read path's last driver-side
-            # materialization. The unpartitioned window is deliberate:
-            # the frame is two metadata columns, and row position is
-            # defined by global part_id order.
+            # SPARK-SIDE so the driver collects only the partitions
+            # whose row interval overlaps — O(surviving), never
+            # O(#partitions). Row position is defined by global part_id
+            # order; the prefix sum runs in TWO bounded passes instead
+            # of one unpartitioned window (which serialized the whole
+            # plan into a single task at ~10^6 partitions): (1) per
+            # part_id-GROUP row sums (groups of _RR_GROUP consecutive
+            # ids — #parts/_RR_GROUP scalars to the driver), prefixed
+            # driver-side and re-broadcast; (2) a window PARTITIONED by
+            # group (parallel across groups) adds the within-group
+            # cumsum to its group's offset.
             from pyspark.sql import Window
 
             first = lin["columns"][0]
-            w = Window.orderBy("part_id").rowsBetween(
-                Window.unboundedPreceding, -1
-            )
-            surv = (
+            meta = (
                 chunks_df(spark, snapshot_dir, as_of, since, filesystem)
                 .filter(F.col("column") == first)
                 .select("part_id", "n_rows")
-                .withColumn(
-                    "base", F.coalesce(F.sum("n_rows").over(w), F.lit(0))
-                )
-                .filter(
-                    (F.col("base") < stop)
-                    & (F.col("base") + F.col("n_rows") > start)
-                )
-                .collect()
+                .withColumn("_grp", F.floor(F.col("part_id") / F.lit(_RR_GROUP)))
             )
+            grp = sorted(
+                (int(r["_grp"]), int(r["rows"]))
+                for r in meta.groupBy("_grp").agg(F.sum("n_rows").alias("rows")).collect()
+            )
+            offs, acc = [], 0
+            for g, rows_g in grp:
+                # group-level prune: only groups overlapping the row
+                # interval enter the per-part window at all
+                if acc < stop and acc + rows_g > start:
+                    offs.append((g, acc))
+                acc += rows_g
             row_spans = {}
-            for r in surv:
-                pid, prows, base = int(r["part_id"]), int(r["n_rows"]), int(r["base"])
-                lo = max(start - base, 0)
-                hi = min(stop - base, prows)
-                if lo < hi:
-                    row_spans[pid] = (lo, hi)
+            if offs:
+                off_df = spark.createDataFrame(offs, "`_grp` long, `_goff` long")
+                w = Window.partitionBy("_grp").orderBy("part_id").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+                surv = (
+                    meta.join(F.broadcast(off_df), "_grp")
+                    .withColumn(
+                        "base",
+                        F.col("_goff")
+                        + F.coalesce(F.sum("n_rows").over(w), F.lit(0)),
+                    )
+                    .filter(
+                        (F.col("base") < stop)
+                        & (F.col("base") + F.col("n_rows") > start)
+                    )
+                    .collect()
+                )
+                for r in surv:
+                    pid, prows, base = int(r["part_id"]), int(r["n_rows"]), int(r["base"])
+                    lo = max(start - base, 0)
+                    hi = min(stop - base, prows)
+                    if lo < hi:
+                        row_spans[pid] = (lo, hi)
     unknown = [c for c in cols if c not in schema_map]
     if unknown:
         raise KeyError(f"columns not in snapshot schema: {unknown} (have {sorted(schema_map)})")

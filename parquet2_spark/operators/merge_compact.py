@@ -41,6 +41,7 @@ from __future__ import annotations
 import time
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -80,7 +81,6 @@ def searchsorted_bucket_bytes(col, bounds: list):
     grid-point invariant), ``value > bound`` holds iff the value is
     strictly longer than the bound, resolved vectorized from the raw
     lengths."""
-    import pandas as pd
     from ..plans.quantile import BYTES_PREFIX
 
     bpad = np.array([bytes(b) for b in bounds], dtype=f"S{BYTES_PREFIX}")
@@ -111,8 +111,6 @@ def searchsorted_bucket_long(col, bounds: list):
     (zone-map units): count of bounds strictly below the value, NULL →
     0. Exact int64 — no float round-trip that would corrupt hash-like
     keys beyond 2^53."""
-    import pandas as pd
-
     barr = np.array([int(b) for b in bounds], dtype=np.int64)
     col = F.coalesce(col, F.lit(int(bounds[0])))
 
