@@ -309,6 +309,12 @@ def _write_layout_sidecar(cfg: EncodeConfig, snap_dir: str, primary: str,
 # quantile grids); above it, fresh bounds re-equalize even inside the
 # size window — a hot bucket absorbing skewed deltas must not compound
 LAYOUT_REBALANCE_LIMIT = 2.5
+# ... unless fresh bounds can't do better: when the limit trips, the
+# stored bounds still win unless the fresh candidate's predicted max
+# bucket is smaller by more than this factor (an atomic hot key — one
+# truncated prefix or tied value — bounds every layout's max; paying a
+# full rewrite to reproduce the same skew is pure loss)
+_REBALANCE_GAIN = 1.25
 
 
 def _newest_layout_doc(table_dir: str, cfg: EncodeConfig) -> dict | None:
@@ -357,7 +363,18 @@ def _resolve_layout_bounds(
     AUDITED against the table's CURRENT quantile grids
     (``decode_job.bucket_weights`` — metadata only): if the heaviest
     predicted bucket exceeds ``LAYOUT_REBALANCE_LIMIT`` × the mean,
-    fresh bounds re-equalize instead. Returns (bounds, n_parts,
+    fresh bounds re-equalize instead — but only when re-equalizing
+    would actually HELP. The heaviest bucket can be an ATOMIC key mass
+    (one truncated byte prefix — a single hot host — or one tied value
+    holding several × the mean) that no split points can divide; a
+    webgen-shaped 20M-row table at ~150 buckets trips the plain limit
+    forever (hot-host bucket 3.2× the mean under ANY bounds, measured
+    r6) and the sticky machinery would degenerate to a full rewrite
+    every maintenance cycle. So when the limit trips, the FRESH
+    candidate's weights are predicted from the same grids (metadata
+    only) and the stored bounds are reused unless fresh bounds beat
+    their max bucket by more than ``_REBALANCE_GAIN`` — "pay a full
+    re-layout only for a real re-balance". Returns (bounds, n_parts,
     reused)."""
     from . import decode_job
 
@@ -377,6 +394,24 @@ def _resolve_layout_bounds(
                     balanced = (
                         max(wts) * len(wts) <= LAYOUT_REBALANCE_LIMIT
                     )
+                    if not balanced:
+                        fresh = decode_job.range_bounds(
+                            spark, table_dir, primary, needed,
+                            filesystem=cfg.filesystem,
+                        )
+                        fw = (
+                            decode_job.bucket_weights(
+                                spark, table_dir, primary, fresh,
+                                filesystem=cfg.filesystem,
+                            )
+                            if fresh
+                            else []
+                        )
+                        # atomic hot key: fresh bounds predict (about)
+                        # the same max bucket — keep the sticky bounds
+                        balanced = bool(fw) and (
+                            max(wts) <= _REBALANCE_GAIN * max(fw)
+                        )
                 except (ValueError, KeyError):
                     pass  # grids unreadable: fresh bounds would fail too
             if balanced:

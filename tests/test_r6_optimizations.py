@@ -239,3 +239,46 @@ class TestFsioSameFsHeuristic:
         fsio.copy_file_atomic(fs, str(src), fs, str(tmp_path / "d.bin"),
                               tmp_dir=str(tmp_path))
         assert (tmp_path / "d.bin").read_bytes() == src.read_bytes()
+
+
+class TestAtomicHotKeyReuse:
+    def test_unsplittable_hot_key_keeps_sticky_bounds(self, spark, tmp_path):
+        """An ATOMIC hot key — one tied value holding several × the mean
+        bucket mass — trips the plain LAYOUT_REBALANCE_LIMIT audit under
+        ANY bounds, so the pre-r6 audit re-derived fresh bounds (a full
+        table rewrite) every maintenance cycle while reproducing the
+        identical skew. The r6 audit predicts the fresh candidate's
+        weights from the same grids and keeps the sticky bounds when
+        fresh bounds cannot materially beat the stored max bucket.
+        (The splittable-hot-bucket case must still refresh — pinned by
+        test_sticky_layout.test_hot_bucket_forces_refresh...)"""
+        from pyspark.sql import functions as F
+
+        from parquet2_spark.operators import table
+        from parquet2_spark.operators.encode_job import EncodeConfig
+
+        td = str(tmp_path / "t")
+        cfg = EncodeConfig(target_rows=500, page_rows=125, sort_by="v",
+                           key="v", host_from_key=False)
+        # 40% of the base shares ONE v value (an unsplittable atom:
+        # ~6.4x the 16-bucket mean), the rest are distinct
+        base = spark.range(8000).select(
+            F.when(F.col("id") >= 4800, F.lit(99_999))
+            .otherwise(F.col("id")).alias("v"),
+            F.col("id").alias("doc_id"),
+        )
+        table.append(spark, base, td, cfg, range_layout_on="v")
+        lin = table.compact(spark, td, cfg, range_layout_on="v")
+        assert lin["layout_bounds_reused"] is False  # first layout: fresh
+        # a small spread delta keeps the size window satisfied
+        delta = spark.range(500).select(
+            (F.col("id") * 9 % 4800).alias("v"),
+            (F.col("id") + 8000).alias("doc_id"),
+        )
+        table.append(spark, delta, td, cfg, range_layout_on="v")
+        lin = table.compact(spark, td, cfg, range_layout_on="v")
+        # pre-r6: False (plain limit tripped by the atom); r6: fresh
+        # bounds predict the same max bucket, so the sticky bounds hold
+        # and the rewrite stays incremental
+        assert lin["layout_bounds_reused"] is True, lin
+        assert int(lin.get("layout_kept") or 0) > 0, lin
