@@ -282,3 +282,55 @@ class TestAtomicHotKeyReuse:
         # and the rewrite stays incremental
         assert lin["layout_bounds_reused"] is True, lin
         assert int(lin.get("layout_kept") or 0) > 0, lin
+
+
+class TestSearchsortedTemporal:
+    def test_timestamp_key_equivalence(self, spark):
+        """_range_layout's big-bounds branch converts timestamp keys to
+        epoch micros via unix_micros before the searchsorted UDF; the
+        bucket ids must equal the expression chain's
+        (col > _typed_lit(micros, 'timestamp')) compares, including
+        NULLs (bucket 0) and exact-boundary instants."""
+        from parquet2_spark.operators import decode_job
+
+        bounds = [int(b) for b in range(0, 100_000_000, 1_000_000)]  # 100 micros bounds
+        vals = [None, -1, 0, 1, 999_999, 1_000_000, 1_000_001,
+                50_500_000, 99_000_000, 99_000_001, 10**12]
+        df = spark.createDataFrame([(v,) for v in vals], "`m` long").select(
+            F.timestamp_micros(F.col("m")).alias("ts")
+        )
+        expr = F.lit(0)
+        for b in bounds:
+            expr = expr + (F.col("ts") > decode_job._typed_lit(b, "timestamp")).cast("int")
+        expr = F.coalesce(expr, F.lit(0))
+        got = df.select(
+            expr.alias("want"),
+            F.coalesce(
+                mc.searchsorted_bucket_long(F.unix_micros(F.col("ts")), bounds),
+                F.lit(0),
+            ).alias("got"),
+        ).collect()
+        for r in got:
+            assert r["want"] == r["got"], (r["want"], r["got"])
+
+    def test_date_key_equivalence(self, spark):
+        from parquet2_spark.operators import decode_job
+
+        bounds = [int(b) for b in range(0, 20_000, 100)]  # 200 day bounds
+        vals = [None, -5, 0, 1, 99, 100, 101, 9_999, 10_000, 19_900, 19_901]
+        df = spark.createDataFrame([(v,) for v in vals], "`d` long").select(
+            F.date_from_unix_date(F.col("d").cast("int")).alias("dt")
+        )
+        expr = F.lit(0)
+        for b in bounds:
+            expr = expr + (F.col("dt") > decode_job._typed_lit(b, "date")).cast("int")
+        expr = F.coalesce(expr, F.lit(0))
+        got = df.select(
+            expr.alias("want"),
+            F.coalesce(
+                mc.searchsorted_bucket_long(F.unix_date(F.col("dt")), bounds),
+                F.lit(0),
+            ).alias("got"),
+        ).collect()
+        for r in got:
+            assert r["want"] == r["got"], (r["want"], r["got"])
