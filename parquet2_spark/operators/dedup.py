@@ -228,10 +228,14 @@ def minhash_lsh_pairs(
       ``dedup.exact`` first to remove byte-identical mega-clusters.
     """
     rows_per_band = num_hashes // bands
+    # signature is null ⟺ text is null/empty, so filtering the TEXT before
+    # the UDF keeps the identical row set while evaluating the signature
+    # UDF once — a filter on the UDF's own output makes Catalyst compute
+    # the signature twice per row (once for the predicate, once for the
+    # projection; measured as two ArrowEvalPython nodes in the plan)
+    nonempty = df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
     sigs = _cache(  # reused: banding pass + final signature re-join
-        minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).filter(
-            F.col("signature").isNotNull()
-        )
+        minhash_signatures(nonempty, text_col, id_col, num_hashes, shingle_k)
     )
     banded = sigs.select(
         id_col,

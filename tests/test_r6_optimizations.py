@@ -334,3 +334,84 @@ class TestSearchsortedTemporal:
         ).collect()
         for r in got:
             assert r["want"] == r["got"], (r["want"], r["got"])
+
+
+class TestMinhashSingleUdfEval:
+    """minhash_lsh_pairs pre-filters empty text instead of filtering on
+    the signature UDF's output: a filter on the UDF output makes Catalyst
+    evaluate the signature twice per row (one ArrowEvalPython for the
+    predicate, one for the projection). The pre-filter keeps the row set
+    identical (signature is null ⟺ text is null/empty) at one eval."""
+
+    def _docs(self, spark):
+        rows = [(0, None), (1, ""), (2, "short"), (3, "a" * 40)] + [
+            (i, f"document body {i % 7} with repeated words {i % 3}")
+            for i in range(4, 40)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_single_udf_eval_in_plan(self, spark):
+        from parquet2_spark.operators.dedup import minhash_signatures
+
+        import contextlib
+        import io
+
+        def _explained(df):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(extended=True)
+            return buf.getvalue()
+
+        docs = self._docs(spark)
+        nonempty = docs.filter(
+            F.col("text").isNotNull() & (F.length("text") > 0)
+        )
+        new_plan = _explained(minhash_signatures(nonempty))
+        old_plan = _explained(
+            minhash_signatures(docs).filter(F.col("signature").isNotNull())
+        )
+        # count in the optimized plan section only (last block)
+        def _optimized_evals(p):
+            opt = p.split("== Optimized Logical Plan ==")[1]
+            opt = opt.split("== Physical Plan ==")[0]
+            return opt.count("sig(")
+
+        assert _optimized_evals(new_plan) == 1
+        assert _optimized_evals(old_plan) >= 2  # the shape this replaced
+
+    def test_row_identical_to_filter_on_output(self, spark):
+        from parquet2_spark.operators import dedup
+
+        docs = self._docs(spark)
+        new = sorted(dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4).collect())
+        dedup.release_caches()
+        # old construction: filter AFTER the UDF
+        sigs = dedup._cache(
+            dedup.minhash_signatures(docs, num_hashes=16).filter(
+                F.col("signature").isNotNull()
+            )
+        )
+        banded = sigs.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(3)),
+                    lambda b: F.xxhash64(F.slice(F.col("signature"), b * 4 + 1, 4)),
+                )
+            ).alias("band", "bucket"),
+        )
+        pairs = dedup._capped_candidates(banded, ["band", "bucket"], "doc_id", 4096)
+        a = sigs.select(F.col("doc_id").alias("id_a"), F.col("signature").alias("sig_a"))
+        b = sigs.select(F.col("doc_id").alias("id_b"), F.col("signature").alias("sig_b"))
+        est = F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ) / F.lit(16)
+        old = sorted(
+            pairs.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b", est.alias("est_jaccard"))
+            .collect()
+        )
+        dedup.release_caches()
+        assert new == old and len(new) > 0
