@@ -459,12 +459,22 @@ def select_codec(
     stats: stats_mod.BatchStats | None = None,
     fsst_table=None,
     vals: pa.Array | None = None,
+    _reuse: dict | None = None,
 ) -> int:
     """Stats shortlist + sample-measure pick for one array (used per page
     standalone, or once per chunk — the reference enforces one codec per
     column chunk, src/write/column_chunk.rs:108-121). A pre-trained
     ``fsst_table`` makes the FSST candidate measured with the table the
-    chunk would actually use (and skips a redundant training pass)."""
+    chunk would actually use (and skips a redundant training pass).
+
+    ``_reuse``: when the measurement sample is the FULL value set (page
+    rows ≤ sample_values — the common small-chunk regime), each measured
+    candidate's encoded bytes and outer-compressed bytes are exactly what
+    ``encode_page`` would recompute for that codec; the dict captures
+    them as {codec: (enc, z_or_None, outer_name, outer_level)} so the
+    winning page encode skips the redundant encode + outer compress (the
+    outer pass at brotli-10/zstd-19 costs more than everything else in
+    the page combined)."""
     code = type_code_of(arr.type)
     kind = TYPES[code][2]
     st = stats if stats is not None else stats_mod.compute(arr, vals=vals)
@@ -474,17 +484,23 @@ def select_codec(
     candidates = sel.shortlist(st, kind, code in _FLOAT_CODES, cfg)
     if len(candidates) == 1 or m == 0:
         return candidates[0]
-    sample = vals.slice(0, cfg.sample_values) if m > cfg.sample_values else vals
+    full_sample = m <= cfg.sample_values
+    sample = vals if full_sample else vals.slice(0, cfg.sample_values)
     # measure candidates AFTER the outer block codec: "fsst < plain" before
     # zstd does not imply "fsst+zstd < plain+zstd" (SURVEY §7 risk note)
     sizes = {}
     for c in candidates:
         enc = _encode_values(code, kind, sample, c, fsst_table=fsst_table, cfg=cfg)
+        z = None
         if cfg.outer and len(enc) >= cfg.outer_min_bytes:
             z = block.compress(enc, cfg.outer, cfg.outer_level)
             sizes[c] = min(len(enc), len(z))
         else:
             sizes[c] = len(enc)
+        if _reuse is not None and full_sample and c != FSST:
+            # FSST excluded: its measurement used the cheap probe table,
+            # the real page uses the chunk table trained after selection
+            _reuse[c] = (enc, z, cfg.outer, cfg.outer_level)
     return sel.pick_by_measure(sizes, cfg)
 
 
@@ -494,6 +510,7 @@ def encode_page(
     codec: int | None = None,
     stats: stats_mod.BatchStats | None = None,
     fsst_table=None,
+    _reuse: dict | None = None,
 ) -> tuple[bytes, PageMeta]:
     code = type_code_of(arr.type)
     kind = TYPES[code][2]
@@ -507,7 +524,11 @@ def encode_page(
     m = len(vals)
 
     if codec is None:
-        codec = select_codec(arr, cfg, st, vals=vals)
+        # standalone page: selection measures THIS page's values, so its
+        # candidate bytes are reusable below under the same conditions as
+        # the chunk-probe path
+        _reuse = {}
+        codec = select_codec(arr, cfg, st, vals=vals, _reuse=_reuse)
 
     # CONSTANT stores only the first non-null value — if a chunk-forced
     # CONSTANT reaches a page that isn't actually constant (min != max),
@@ -517,13 +538,31 @@ def encode_page(
     if codec == CONSTANT and m and st.min != st.max:
         codec = PLAIN
 
+    # candidate bytes measured by select_codec on this page's FULL value
+    # set are exactly what the loop below would recompute — reuse them
+    # (FSST entries are never stored; see select_codec)
+    cached = _reuse.get(codec) if _reuse is not None else None
+    cached_z = None
+    if cached is not None:
+        cached_enc, z, z_outer, z_level = cached
+        if (
+            z is not None
+            and z_outer == cfg.outer
+            and z_level == cfg.outer_level
+            and not (cfg.outer_candidates and len(cfg.outer_candidates) > 1)
+        ):
+            cached_z = z
+
     # nested payloads are written even for m == 0: the tag + empty child
     # pages carry the full type tree, so all-null pages decode typed
-    enc = (
-        _encode_values(code, kind, vals, codec, fsst_table, cfg=cfg)
-        if (m or kind == "nested")
-        else b""
-    )
+    if cached is not None and (m or kind == "nested"):
+        enc = cached_enc
+    else:
+        enc = (
+            _encode_values(code, kind, vals, codec, fsst_table, cfg=cfg)
+            if (m or kind == "nested")
+            else b""
+        )
     raw_size = len(enc)
 
     outer_id = 0
@@ -546,6 +585,8 @@ def encode_page(
                 key=lambda n: (sel.OUTER_COST_RANK.get(n, 9), len(sizes[n])),
             )
             compressed, outer_name = sizes[chosen], chosen
+        elif cached_z is not None:
+            compressed, outer_name = cached_z, cfg.outer
         else:
             compressed, outer_name = block.compress(enc, cfg.outer, cfg.outer_level), cfg.outer
         if len(compressed) <= raw_size * cfg.outer_min_gain:
@@ -757,9 +798,15 @@ def encode_chunk(
     # one codec per chunk, selected on the first non-empty page — the
     # reference enforces exactly this (src/write/column_chunk.rs:108-121)
     chunk_codec = codec
+    probe_reuse: dict = {}
     if chunk_codec is None:
         chunk_codec = select_codec(
-            probe, cfg, stats=probe_stats, fsst_table=fsst_table, vals=probe_vals
+            probe,
+            cfg,
+            stats=probe_stats,
+            fsst_table=fsst_table,
+            vals=probe_vals,
+            _reuse=probe_reuse,
         )
         if chunk_codec == CONSTANT:
             # the probe page was constant, but CONSTANT is only valid for
@@ -828,7 +875,15 @@ def encode_chunk(
     blobs: list[bytes] = []
     metas: list[PageMeta] = []
     for arr in pages:
-        b, m = encode_page(arr, cfg, codec=chunk_codec, fsst_table=fsst_table)
+        b, m = encode_page(
+            arr,
+            cfg,
+            codec=chunk_codec,
+            fsst_table=fsst_table,
+            # the reuse entries are keyed on the PROBE page's values —
+            # only that page may consume them
+            _reuse=probe_reuse if arr is probe else None,
+        )
         blobs.append(b)
         metas.append(m)
     head = [

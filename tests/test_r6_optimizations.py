@@ -415,3 +415,63 @@ class TestMinhashSingleUdfEval:
         )
         dedup.release_caches()
         assert new == old and len(new) > 0
+
+
+class TestSelectReuseByteIdentity:
+    """select_codec's candidate measurement on a full-value sample now
+    hands its (enc, outer-compressed) bytes to encode_page for the probe
+    page, skipping a redundant encode + outer compress (at brotli-10 the
+    redundant pass was ~40% of warm-archive task CPU). The reuse must be
+    byte-invisible: chunk blobs with the memo must equal chunk blobs with
+    the memo stripped, across codec winners and profiles."""
+
+    def _chunks(self):
+        import pyarrow as pa
+
+        rng = np.random.default_rng(7)
+        text = pa.array(
+            [f"<html><body>doc {i % 97} {'lorem ipsum ' * (i % 13)}</body></html>" for i in range(900)]
+        )
+        nully = pa.array(
+            [None if i % 5 == 0 else f"value-{i % 50}" for i in range(900)]
+        )
+        const = pa.array(["same"] * 900)
+        ints = pa.array(rng.integers(0, 1_000, 900).tolist(), type=pa.int64())
+        floats = pa.array(rng.standard_normal(900).tolist(), type=pa.float64())
+        multi = pa.array([f"row {i} payload {'x' * (i % 31)}" for i in range(9000)])
+        return {
+            "text": [text],
+            "nully": [nully],
+            "const": [const],
+            "ints": [ints],
+            "floats": [floats],
+            # multi-page: probe reuse applies to page 0 only
+            "multi": [multi.slice(s, 4096) for s in range(0, 9000, 4096)],
+        }
+
+    def test_reuse_matches_stripped(self, monkeypatch):
+        from parquet2_spark import blob
+        from parquet2_spark.functions import selector as sel_mod
+
+        cfgs = {
+            "default": sel_mod.DEFAULT,
+            "warm": sel_mod.warm_archive_profile(),
+            "speed": sel_mod.speed_profile()
+            if hasattr(sel_mod, "speed_profile")
+            else sel_mod.SelectorConfig(outer_candidates=("lz4", "zstd"), outer_slack=0.5),
+        }
+        chunks = self._chunks()
+        with_reuse = {
+            (cn, pn): blob.encode_chunk(pages, cfg)[0]
+            for cn, cfg in cfgs.items()
+            for pn, pages in chunks.items()
+        }
+        real_encode_page = blob.encode_page
+
+        def stripped(arr, cfg=sel_mod.DEFAULT, codec=None, stats=None, fsst_table=None, _reuse=None):
+            return real_encode_page(arr, cfg, codec=codec, stats=stats, fsst_table=fsst_table)
+
+        monkeypatch.setattr(blob, "encode_page", stripped)
+        for (cn, pn), payload in with_reuse.items():
+            again = blob.encode_chunk(chunks[pn], cfgs[cn])[0]
+            assert again == payload, (cn, pn)
