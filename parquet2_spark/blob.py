@@ -488,15 +488,37 @@ def select_codec(
     sample = vals if full_sample else vals.slice(0, cfg.sample_values)
     # measure candidates AFTER the outer block codec: "fsst < plain" before
     # zstd does not imply "fsst+zstd < plain+zstd" (SURVEY §7 risk note)
+    encs = {
+        c: _encode_values(code, kind, sample, c, fsst_table=fsst_table, cfg=cfg)
+        for c in candidates
+    }
+    to_z = [
+        c for c in candidates if cfg.outer and len(encs[c]) >= cfg.outer_min_bytes
+    ]
+    if cfg.select_threads > 1 and len(to_z) > 1:
+        # heavy-outer profiles (brotli-10 / zstd-19): the candidate
+        # compressions dominate selection, are independent and release
+        # the GIL — overlap them; sizes (and thus the pick) are the
+        # deterministic per-candidate bytes either way
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(cfg.select_threads, len(to_z))) as ex:
+            zs = dict(
+                zip(
+                    to_z,
+                    ex.map(
+                        lambda c: block.compress(encs[c], cfg.outer, cfg.outer_level),
+                        to_z,
+                    ),
+                )
+            )
+    else:
+        zs = {c: block.compress(encs[c], cfg.outer, cfg.outer_level) for c in to_z}
     sizes = {}
     for c in candidates:
-        enc = _encode_values(code, kind, sample, c, fsst_table=fsst_table, cfg=cfg)
-        z = None
-        if cfg.outer and len(enc) >= cfg.outer_min_bytes:
-            z = block.compress(enc, cfg.outer, cfg.outer_level)
-            sizes[c] = min(len(enc), len(z))
-        else:
-            sizes[c] = len(enc)
+        enc = encs[c]
+        z = zs.get(c)
+        sizes[c] = min(len(enc), len(z)) if z is not None else len(enc)
         if _reuse is not None and full_sample and c != FSST:
             # FSST excluded: its measurement used the cheap probe table,
             # the real page uses the chunk table trained after selection

@@ -68,6 +68,12 @@ class SelectorConfig:
     # a cheaper-to-encode codec wins when its measured size is within this
     # fraction of the best candidate (speed/ratio tradeoff knob)
     speed_slack: float = 0.02
+    # candidate-measurement outer compressions run in this many threads
+    # (they are independent, deterministic, and the heavy compressors
+    # release the GIL). >1 only pays when the outer codec is expensive —
+    # the heavy-outer archival profiles opt in; the default zstd-2 outer
+    # measures in single-digit milliseconds and stays sequential.
+    select_threads: int = 1
 
 
 DEFAULT = SelectorConfig()
@@ -87,7 +93,7 @@ def archival_profile() -> SelectorConfig:
     3-4× cost — level 6 even beat it at 0.322); 19 is where the size-cost
     curve pays again. Pair with large chunks (tens of MB): per-chunk
     symbol-table training and zstd context setup amortize."""
-    return SelectorConfig(outer_level=19)
+    return SelectorConfig(outer_level=19, select_threads=4)
 
 
 def warm_archive_profile() -> SelectorConfig:
@@ -96,8 +102,12 @@ def warm_archive_profile() -> SelectorConfig:
     while DECODING ~4× faster, at ~half zstd-19's encode cost. The pick
     for archived data that still gets regular scan traffic; cold data
     nobody reads stays on ``archival_profile()`` (zstd-19, smallest),
-    hot interactive data on the default zstd-2."""
-    return SelectorConfig(outer="brotli", outer_level=10)
+    hot interactive data on the default zstd-2. ``select_threads``:
+    at level 10 the candidate measurement is 3-4 brotli compressions per
+    column — independent, GIL-releasing, byte-deterministic — so the
+    archival profiles overlap them; finishing a chunk sooner shortens the
+    straggler tail of any partial task wave at identical total CPU."""
+    return SelectorConfig(outer="brotli", outer_level=10, select_threads=4)
 
 
 def shortlist(st: BatchStats, kind: str, is_float: bool, cfg: SelectorConfig = DEFAULT) -> list[int]:

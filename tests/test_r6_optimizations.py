@@ -475,3 +475,31 @@ class TestSelectReuseByteIdentity:
         for (cn, pn), payload in with_reuse.items():
             again = blob.encode_chunk(chunks[pn], cfgs[cn])[0]
             assert again == payload, (cn, pn)
+
+
+class TestThreadedSelectionByteIdentity:
+    """Heavy-outer profiles overlap the candidate-measurement outer
+    compressions in a small thread pool (select_threads). Each candidate's
+    compressed size is a deterministic function of its bytes, so the pick
+    — and every output byte — must be identical to the sequential loop."""
+
+    def test_threaded_equals_sequential(self):
+        from dataclasses import replace
+
+        from parquet2_spark import blob
+        from parquet2_spark.functions import selector as sel_mod
+
+        cols = {
+            "html": pa.array(
+                [f"<div>block {i % 53} {'pad ' * (i % 17)}</div>" for i in range(900)]
+            ),
+            "ints": pa.array(list(range(900)), type=pa.int64()),
+            "nully": pa.array([None if i % 4 == 0 else f"v{i % 40}" for i in range(900)]),
+        }
+        for prof in (sel_mod.warm_archive_profile(), sel_mod.archival_profile()):
+            assert prof.select_threads > 1  # the profiles under test opt in
+            seq = replace(prof, select_threads=1)
+            for name, arr in cols.items():
+                a, _ = blob.encode_chunk([arr], seq)
+                b, _ = blob.encode_chunk([arr], prof)
+                assert a == b, (name, prof.outer)
